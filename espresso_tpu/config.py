@@ -1,0 +1,319 @@
+"""Typed configuration tree with YAML files and dotted CLI overrides.
+
+One config system replaces the reference's dual argparse/Hydra front-ends
+(fairseq/dataclass/configs.py:1194 ``FairseqConfig``; fairseq/options.py;
+fairseq_cli/hydra_train.py:25). Groups mirror the reference's:
+common / distributed / dataset / optimization / checkpoint / generation plus
+registry-chosen task / model / criterion / optimizer / lr_scheduler nodes.
+
+Usage:
+    cfg = parse_config(argv)            # --config foo.yaml + dotted overrides
+    cfg = load_config_dict({...})       # programmatic
+
+Dotted overrides: ``optimization.lr=1e-3 model.encoder_layers=16``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+from espresso_tpu import registry
+
+
+# ---------------------------------------------------------------------------
+# Config groups (reference: fairseq/dataclass/configs.py structure)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CommonConfig:
+    seed: int = 1
+    log_interval: int = 100
+    log_format: str = "simple"  # simple | json
+    tensorboard_logdir: Optional[str] = None
+    # numeric precision of the compute path; params are kept fp32
+    dtype: str = "bfloat16"  # float32 | bfloat16
+    # rematerialisation policy for encoder layers: none | full | dots
+    remat: str = "none"
+    profile: bool = False
+    user_dir: Optional[str] = None
+
+
+@dataclass
+class DistributedConfig:
+    # mesh axis sizes; -1 on data axis means "all remaining devices"
+    data_parallel_size: int = -1
+    model_parallel_size: int = 1
+    # shard parameters/optimizer state over the data axis (ZeRO-3 analogue of
+    # the reference's fully_sharded backend, fully_sharded_data_parallel.py:23)
+    fsdp: bool = False
+    # multi-host init (jax.distributed.initialize) — no-op single host
+    coordinator_address: Optional[str] = None
+    num_processes: int = 1
+    process_id: int = 0
+
+
+@dataclass
+class DatasetConfig:
+    data: str = ""  # directory with {split}.json manifests + dict
+    dict: Optional[str] = None
+    non_lang_syms: Optional[str] = None
+    train_subset: str = "train"
+    valid_subset: str = "valid"
+    gen_subset: str = "test"
+    max_tokens: Optional[int] = None  # frame budget per batch
+    batch_size: Optional[int] = None
+    max_source_positions: int = 6000
+    max_target_positions: int = 1024
+    num_batch_buckets: int = 10  # fixed-shape buckets for XLA (TPU needs this)
+    required_batch_size_multiple: int = 8
+    skip_invalid_size_inputs_valid_test: bool = False
+    # feature extraction
+    feat_dim: int = 80
+    feature_type: str = "precomputed"  # precomputed | fbank | mfcc
+    sample_rate: int = 16000
+    global_cmvn_stats_path: Optional[str] = None
+    specaugment_config: Optional[str] = None
+    # batch on src_len*tgt_len product (transducer memory batching,
+    # reference asr_dataset.py:369-382)
+    batch_based_on_both_src_tgt: bool = False
+    data_buffer_size: int = 4  # prefetch depth
+
+
+@dataclass
+class OptimizationConfig:
+    max_epoch: int = 0
+    max_update: int = 0
+    lr: List[float] = field(default_factory=lambda: [0.001])
+    clip_norm: float = 0.0
+    update_freq: List[int] = field(default_factory=lambda: [1])
+    sentence_avg: bool = False
+    stop_min_lr: float = -1.0
+
+
+@dataclass
+class CheckpointConfig:
+    save_dir: str = "checkpoints"
+    restore_file: str = "checkpoint_last"
+    save_interval: int = 1  # epochs
+    save_interval_updates: int = 0
+    keep_last_epochs: int = -1
+    keep_best_checkpoints: int = -1
+    no_save: bool = False
+    no_save_optimizer_state: bool = False
+    best_checkpoint_metric: str = "loss"
+    maximize_best_checkpoint_metric: bool = False
+    patience: int = -1
+    reset_dataloader: bool = False
+    reset_optimizer: bool = False
+
+
+@dataclass
+class GenerationConfig:
+    beam: int = 1
+    max_len_a: float = 0.0
+    max_len_b: int = 200
+    min_len: int = 1
+    lenpen: float = 1.0
+    temperature: float = 1.0
+    # espresso decode extras (speech_recognize.py)
+    eos_factor: Optional[float] = None
+    lm_weight: float = 0.0
+    lm_path: Optional[str] = None
+    word_lm_path: Optional[str] = None
+    subwordlm_weight: float = 0.8
+    oov_penalty: float = 1e-4
+    open_vocab: bool = True
+    # transducer beam search (adaptive expansion search)
+    expansion_beta: int = 0
+    expansion_gamma: Optional[float] = None
+    max_num_expansions_per_step: int = 2
+    prefix_alpha: Optional[int] = None
+    print_alignment: bool = False
+    results_path: Optional[str] = None
+    wer_output_filter: Optional[str] = None
+
+
+@dataclass
+class OptimizerConfig:
+    name: str = "adam"
+    adam_betas: Tuple[float, float] = (0.9, 0.999)
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.0
+    momentum: float = 0.0  # sgd/nag
+
+
+@dataclass
+class LRSchedulerConfig:
+    name: str = "fixed"
+    warmup_updates: int = 0
+    warmup_init_lr: float = -1.0
+    # noam (espresso/optim/lr_scheduler/noam_lr_scheduler.py:24-70)
+    model_size: int = 512
+    final_lr: float = 0.0
+    # tri_stage
+    hold_steps: int = 0
+    decay_steps: int = 0
+    init_lr_scale: float = 0.01
+    final_lr_scale: float = 0.01
+    phase_ratio: Optional[List[float]] = None
+    # plateau (reduce_lr_on_plateau_v2)
+    lr_shrink: float = 0.1
+    lr_threshold: float = 1e-4
+    start_reduce_lr_epoch: int = 0
+    # polynomial
+    power: float = 1.0
+    total_num_update: int = 0
+
+
+@dataclass
+class TaskSection:
+    name: str = "speech_recognition_espresso"
+    # generic task options live in DatasetConfig; extra task-specific knobs:
+    autoregressive: bool = True
+    # hybrid task (speech_recognition_hybrid.py)
+    num_targets: int = 0
+    initial_state_prior_path: Optional[str] = None
+    state_prior_update_interval: int = 0
+    state_prior_update_smoothing: float = 0.1
+    chunk_width: int = 0
+    chunk_left_context: int = 0
+    chunk_right_context: int = 0
+    label_delay: int = 0
+
+
+@dataclass
+class CriterionSection:
+    name: str = "label_smoothed_cross_entropy_v2"
+    label_smoothing: float = 0.0
+    smoothing_type: str = "uniform"  # uniform | unigram | temporal
+    unigram_pseudo_count: float = 1.0
+    # ctc
+    ctc_weight: float = 1.0
+    zero_infinity: bool = True
+    # transducer
+    include_eos_in_transducer_loss: bool = False
+
+
+@dataclass
+class EspressoConfig:
+    """Root config (reference FairseqConfig analogue, configs.py:1194)."""
+
+    common: CommonConfig = field(default_factory=CommonConfig)
+    distributed: DistributedConfig = field(default_factory=DistributedConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    generation: GenerationConfig = field(default_factory=GenerationConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    lr_scheduler: LRSchedulerConfig = field(default_factory=LRSchedulerConfig)
+    task: TaskSection = field(default_factory=TaskSection)
+    criterion: CriterionSection = field(default_factory=CriterionSection)
+    # model section is dynamic: chosen by `model.name` / `--arch`
+    model: Dict[str, Any] = field(default_factory=lambda: {"name": "speech_lstm"})
+
+
+# ---------------------------------------------------------------------------
+# Parsing
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: str) -> Any:
+    """Parse a CLI string into bool/int/float/list/str."""
+    low = value.lower()
+    if low in ("true", "yes"):
+        return True
+    if low in ("false", "no"):
+        return False
+    if low in ("none", "null"):
+        return None
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        pass
+    if "," in value:
+        return [_coerce(v) for v in value.split(",") if v != ""]
+    return value
+
+
+def _set_dotted(obj: Any, dotted: str, value: Any) -> None:
+    parts = dotted.split(".")
+    for part in parts[:-1]:
+        if isinstance(obj, dict):
+            obj = obj.setdefault(part, {})
+        else:
+            obj = getattr(obj, part)
+    last = parts[-1]
+    if isinstance(obj, dict):
+        obj[last] = value
+        return
+    if not hasattr(obj, last):
+        raise KeyError(f"unknown config key {dotted!r}")
+    cur = getattr(obj, last)
+    if isinstance(cur, list) and not isinstance(value, list) and value is not None:
+        value = [value]
+    if isinstance(cur, tuple) and isinstance(value, list):
+        value = tuple(value)
+    setattr(obj, last, value)
+
+
+def _merge_dict_into(cfg: Any, data: Dict[str, Any], prefix: str = "") -> None:
+    for key, value in data.items():
+        path = f"{prefix}{key}"
+        if isinstance(value, dict) and not isinstance(
+            getattr(cfg, key, None) if not isinstance(cfg, dict) else cfg.get(key),
+            (str, int, float, list),
+        ):
+            target = cfg[key] if isinstance(cfg, dict) else getattr(cfg, key, None)
+            if dataclasses.is_dataclass(target) or isinstance(target, dict):
+                _merge_dict_into(target, value, prefix=f"{path}.")
+                continue
+        _set_dotted(cfg, key, value)
+
+
+def load_config_dict(data: Dict[str, Any]) -> EspressoConfig:
+    cfg = EspressoConfig()
+    _merge_dict_into(cfg, data)
+    return cfg
+
+
+def parse_config(argv: List[str]) -> EspressoConfig:
+    """Parse ``[--config file.yaml] key.path=value ...`` into an EspressoConfig."""
+    cfg = EspressoConfig()
+    overrides: List[Tuple[str, Any]] = []
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if arg == "--config":
+            import yaml
+
+            with open(argv[i + 1]) as f:
+                _merge_dict_into(cfg, yaml.safe_load(f) or {})
+            i += 2
+            continue
+        if "=" in arg:
+            key, _, value = arg.partition("=")
+            key = key.lstrip("-").replace("-", "_")
+            overrides.append((key, _coerce(value)))
+            i += 1
+            continue
+        raise ValueError(f"unrecognized argument {arg!r} (use key.path=value)")
+    for key, value in overrides:
+        _set_dotted(cfg, key, value)
+    return cfg
+
+
+def config_to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: config_to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [config_to_dict(v) for v in cfg]
+    if isinstance(cfg, dict):
+        return {k: config_to_dict(v) for k, v in cfg.items()}
+    return cfg

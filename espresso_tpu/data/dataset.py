@@ -1,0 +1,246 @@
+"""ASR dataset: paired audio features + token targets, fixed-shape collation.
+
+Rebuild of espresso/data/asr_dataset.py (AsrDataset :139, collate :17-136) and
+espresso/data/feat_text_dataset.py (AudioFeatDataset :36, AsrTextDataset :333),
+re-designed for XLA static shapes:
+
+  * Every batch is collated to a *bucketed* fixed shape (the reference's
+    opt-in TPU path asr_bucket_pad_length_dataset.py is the default here).
+  * Batches padded up with repeated utterances carry ``weight=0`` rows so loss
+    and WER accounting are exact.
+  * ``prev_output_tokens`` is built by moving EOS to the front (or prepending
+    BOS), matching reference collate :85-102.
+  * Feature sources: Kaldi ``feats.scp`` matrices (ark offsets), raw wave
+    files, or shell-command pipes with on-the-fly fbank/MFCC
+    (feat_text_dataset.py:128-155). On-the-fly features use the NumPy oracle
+    on host for probing and the batched jnp path on device for training.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from espresso_tpu.data import kaldi_io
+from espresso_tpu.data.audio import read_audio
+from espresso_tpu.data.batching import (
+    bucket_batches,
+    filter_by_size,
+    quantile_buckets,
+)
+from espresso_tpu.data.dictionary import AsrDictionary
+from espresso_tpu.data.manifest import ManifestEntry
+from espresso_tpu.features.fbank import (
+    fbank_numpy,
+    mfcc_numpy,
+    num_samples_to_num_frames,
+)
+
+
+@dataclass
+class BatchSpec:
+    indices: np.ndarray  # [bsz] dataset indices (tail may repeat for padding)
+    num_real: int  # how many rows are real (rest are shape padding)
+    src_bucket: int  # padded feature length
+    tgt_bucket: int  # padded target length
+
+
+class AsrDataset:
+    """Paired (features, tokens) dataset over a manifest."""
+
+    def __init__(
+        self,
+        entries: Sequence[ManifestEntry],
+        dictionary: Optional[AsrDictionary],
+        feat_dim: int = 80,
+        feature_type: str = "precomputed",  # precomputed | fbank | mfcc
+        sample_rate: int = 16000,
+        autoregressive: bool = True,
+        prepend_bos_as_input_feeding: bool = False,
+        tokenizer=None,
+    ):
+        self.entries = list(entries)
+        self.dict = dictionary
+        self.feat_dim = feat_dim
+        self.feature_type = feature_type
+        self.sample_rate = sample_rate
+        self.autoregressive = autoregressive
+        self.prepend_bos = prepend_bos_as_input_feeding
+        self.tokenizer = tokenizer
+        self._encode_targets()
+        self.src_sizes = np.array(
+            [
+                e.num_frames if e.num_frames is not None else self._probe_frames(i)
+                for i, e in enumerate(self.entries)
+            ],
+            dtype=np.int64,
+        )
+        self.tgt_sizes = np.array(
+            [len(t) for t in self.targets], dtype=np.int64
+        )
+
+    # -- targets ------------------------------------------------------------
+    def _encode_targets(self) -> None:
+        self.targets: List[np.ndarray] = []
+        for e in self.entries:
+            if e.text is None or self.dict is None:
+                self.targets.append(np.zeros(0, dtype=np.int32))
+                continue
+            text = e.text
+            if self.tokenizer is not None:
+                text = self.tokenizer.encode(text)
+            elif self.dict.tokenizer is not None or self.dict.bpe is not None:
+                text = self.dict.wordpiece_encode(text)
+            self.targets.append(
+                self.dict.encode_line(text, append_eos=self.autoregressive)
+            )
+
+    def _probe_frames(self, index: int) -> int:
+        e = self.entries[index]
+        if e.kind == "feat":
+            return kaldi_io.read_mat(e.audio).shape[0]
+        wav, sr = read_audio(e.audio, e.kind)
+        return num_samples_to_num_frames(len(wav), sr)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    # -- feature access -----------------------------------------------------
+    def get_features(self, index: int) -> np.ndarray:
+        e = self.entries[index]
+        if e.kind == "feat":
+            return kaldi_io.read_mat(e.audio)
+        wav, sr = read_audio(e.audio, e.kind)
+        if self.feature_type == "mfcc":
+            return mfcc_numpy(wav, sample_rate=sr, num_mel_bins=self.feat_dim)
+        return fbank_numpy(wav, sample_rate=sr, num_mel_bins=self.feat_dim)
+
+    # -- sizes for batching ---------------------------------------------------
+    def num_tokens(self, index: int, batch_on_both: bool = False) -> int:
+        if batch_on_both:
+            # transducer T*U memory batching (reference asr_dataset.py:369-382)
+            return int(self.src_sizes[index] * max(self.tgt_sizes[index], 1))
+        return int(self.src_sizes[index])
+
+    def ordered_indices(
+        self, shuffle: bool = True, seed: int = 1, epoch: int = 1
+    ) -> np.ndarray:
+        """Sort by tgt then src length, with random tie-break when shuffling
+        (reference asr_dataset.py:392-408)."""
+        if shuffle:
+            rng = np.random.default_rng([seed, epoch])
+            order = rng.permutation(len(self))
+        else:
+            order = np.arange(len(self))
+        if len(self.tgt_sizes) and self.tgt_sizes.max() > 0:
+            order = order[np.argsort(self.tgt_sizes[order], kind="stable")]
+        return order[np.argsort(self.src_sizes[order], kind="stable")]
+
+    # -- batch planning -------------------------------------------------------
+    def make_batch_specs(
+        self,
+        max_tokens: Optional[int],
+        max_sentences: Optional[int],
+        num_buckets: int = 10,
+        required_batch_size_multiple: int = 8,
+        max_source_positions: int = 6000,
+        max_target_positions: int = 1024,
+        shuffle: bool = True,
+        seed: int = 1,
+        epoch: int = 1,
+        tgt_pad_multiple: int = 32,
+    ) -> List[BatchSpec]:
+        indices = self.ordered_indices(shuffle=shuffle, seed=seed, epoch=epoch)
+        indices, _ = filter_by_size(
+            indices,
+            self.src_sizes,
+            max_source_positions,
+            self.tgt_sizes if self.tgt_sizes.max() > 0 else None,
+            max_target_positions,
+        )
+        bucket_sizes = quantile_buckets(
+            self.src_sizes[indices], min(num_buckets, len(indices))
+        )
+        raw = bucket_batches(
+            indices,
+            self.src_sizes,
+            bucket_sizes,
+            max_tokens=max_tokens,
+            max_sentences=max_sentences,
+            required_batch_size_multiple=required_batch_size_multiple,
+        )
+        # fixed tgt pad per src bucket: dataset-wide max tgt in bucket, rounded
+        bucket_tgt: Dict[int, int] = {}
+        for chunk, src_bucket in raw:
+            t = int(self.tgt_sizes[chunk].max()) if len(self.tgt_sizes) else 0
+            bucket_tgt[src_bucket] = max(bucket_tgt.get(src_bucket, 1), t)
+        for k in bucket_tgt:
+            m = tgt_pad_multiple
+            bucket_tgt[k] = max(-(-bucket_tgt[k] // m) * m, m)
+        specs = []
+        for chunk, src_bucket in raw:
+            uniq = len(chunk)
+            # rows appended by bucket_batches repeat the last index
+            num_real = uniq
+            for r in range(len(chunk) - 1, 0, -1):
+                if chunk[r] == chunk[r - 1]:
+                    num_real -= 1
+                else:
+                    break
+            specs.append(
+                BatchSpec(
+                    indices=chunk,
+                    num_real=num_real,
+                    src_bucket=src_bucket,
+                    tgt_bucket=bucket_tgt[src_bucket],
+                )
+            )
+        return specs
+
+    # -- collation ------------------------------------------------------------
+    def collate(self, spec: BatchSpec, epoch: int = 1) -> Dict[str, Any]:
+        B = len(spec.indices)
+        T, U = spec.src_bucket, spec.tgt_bucket
+        feats = np.zeros((B, T, self.feat_dim), dtype=np.float32)
+        src_lengths = np.zeros(B, dtype=np.int32)
+        pad = self.dict.pad() if self.dict is not None else 0
+        eos = self.dict.eos() if self.dict is not None else 0
+        target = np.full((B, U), pad, dtype=np.int32)
+        prev_output = np.full((B, U), pad, dtype=np.int32)
+        tgt_lengths = np.zeros(B, dtype=np.int32)
+        utt_ids: List[str] = []
+        for row, idx in enumerate(spec.indices):
+            mat = self.get_features(int(idx))
+            L = min(mat.shape[0], T)
+            feats[row, :L] = mat[:L]
+            src_lengths[row] = L
+            utt_ids.append(self.entries[int(idx)].utt_id)
+            tgt = self.targets[int(idx)][:U]
+            target[row, : len(tgt)] = tgt
+            tgt_lengths[row] = len(tgt)
+            if self.autoregressive and len(tgt) > 0:
+                if self.prepend_bos:
+                    prev_output[row, 0] = self.dict.bos()
+                    prev_output[row, 1 : len(tgt)] = tgt[: len(tgt) - 1]
+                else:
+                    # move EOS to front (reference collate :85-102)
+                    prev_output[row, 0] = eos
+                    prev_output[row, 1 : len(tgt)] = tgt[: len(tgt) - 1]
+        weight = (np.arange(B) < spec.num_real).astype(np.float32)
+        # sort by descending src length within batch (reference collate :67)
+        order = np.argsort(-src_lengths, kind="stable")
+        return {
+            "utt_ids": [utt_ids[i] for i in order],
+            "src_frames": feats[order],
+            "src_lengths": src_lengths[order],
+            "target": target[order],
+            "prev_output_tokens": prev_output[order],
+            "tgt_lengths": tgt_lengths[order],
+            "weight": weight[order],
+            "ntokens": int((tgt_lengths * weight).sum())
+            if self.tgt_sizes.max() > 0
+            else int((src_lengths * weight).sum()),
+            "nsentences": spec.num_real,
+        }
