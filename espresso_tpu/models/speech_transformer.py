@@ -1,0 +1,389 @@
+"""Speech Transformer / Conformer encoder-decoder (``speech_transformer``).
+
+Rebuild of espresso/models/transformer/ (speech_transformer_base.py:28,
+speech_transformer_encoder.py:44, speech_transformer_decoder.py:43):
+
+  * Encoder: ConvFrontend subsampling → fc0 input projection (:79) →
+    absolute sinusoidal or relative positional embeddings (:95-158) →
+    N layers of type ``transformer`` or ``conformer`` (:196-201), with
+    chunk-streaming attention masks (:226-263 → ops.masking) and limited
+    left/right context windows.
+  * Decoder: pre-norm causal transformer with cross-attention; incremental
+    decoding via explicit per-layer cache pytrees (self k/v ring + static
+    encoder k/v) usable inside lax.while_loop beam search.
+  * Encoder-only variant for CTC/hybrid heads is in
+    ``speech_transformer_encoder_model`` style: set ``decoder_layers=0`` and
+    use ``encode`` + an output head.
+
+Named architectures speech_transformer_{wsj,librispeech,swbd}
+(speech_transformer_legacy.py:180-210).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from espresso_tpu.models.base import EncoderOut
+from espresso_tpu.modules.attention import MultiheadAttention
+from espresso_tpu.modules.conformer import (
+    ConformerEncoderLayer,
+    TransformerEncoderLayer,
+)
+from espresso_tpu.modules.conv_frontend import ConvFrontend
+from espresso_tpu.modules.positional import (
+    RelativePositionalEmbedding,
+    sinusoidal_positions,
+)
+from espresso_tpu.ops.masking import NEG_INF, chunk_streaming_mask, limited_context_mask
+from espresso_tpu.registry import MODELS, register_architecture
+
+
+@dataclass
+class SpeechTransformerConfig:
+    name: str = "speech_transformer"
+    feat_dim: int = 80
+    vocab_size: int = 0
+    # conv front-end
+    conv_channels: Tuple[int, ...] = (64, 64, 128, 128)
+    conv_kernel_sizes: Tuple[Tuple[int, int], ...] = ((3, 3),) * 4
+    conv_strides: Tuple[Tuple[int, int], ...] = ((1, 1), (2, 2), (1, 1), (2, 2))
+    conv_norm_type: str = "batch"
+    # encoder
+    encoder_embed_dim: int = 256
+    encoder_ffn_dim: int = 1024
+    encoder_layers: int = 12
+    encoder_heads: int = 4
+    encoder_layer_type: str = "transformer"  # transformer | conformer
+    encoder_pos_type: str = "abs"  # abs | relative | none
+    encoder_relative_max_size: int = 1024
+    encoder_learned_pos: bool = False
+    depthwise_conv_kernel_size: int = 31
+    conformer_norm_type: str = "batch"
+    # streaming / limited context (speech_transformer_encoder.py:226-263)
+    chunk_size: int = 0
+    chunk_left_window: int = 0
+    chunk_right_window: int = 0
+    context_left: int = -1  # -1 = unlimited
+    context_right: int = -1
+    # decoder
+    decoder_embed_dim: int = 256
+    decoder_ffn_dim: int = 1024
+    decoder_layers: int = 6
+    decoder_heads: int = 4
+    decoder_learned_pos: bool = False
+    share_decoder_input_output_embed: bool = True
+    max_target_positions: int = 1024
+    dropout: float = 0.1
+    pad_index: int = 1
+
+
+class SpeechTransformerEncoder(nn.Module):
+    cfg: SpeechTransformerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        src_frames: jnp.ndarray,
+        src_lengths: jnp.ndarray,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> EncoderOut:
+        cfg = self.cfg
+        x, lengths = ConvFrontend(
+            out_channels=cfg.conv_channels,
+            kernel_sizes=cfg.conv_kernel_sizes,
+            strides=cfg.conv_strides,
+            norm_type=cfg.conv_norm_type,
+            name="conv",
+        )(src_frames, src_lengths, train=train)
+        x = nn.Dense(cfg.encoder_embed_dim, name="fc0")(x)  # reference :79
+        T = x.shape[1]
+        rel_pos = None
+        if cfg.encoder_pos_type == "abs":
+            x = x * (cfg.encoder_embed_dim ** 0.5) + sinusoidal_positions(
+                T, cfg.encoder_embed_dim
+            )
+        elif cfg.encoder_pos_type == "relative":
+            rel_pos = RelativePositionalEmbedding(
+                cfg.encoder_embed_dim,
+                max_size=cfg.encoder_relative_max_size,
+                learned=cfg.encoder_learned_pos,
+                name="rel_pos",
+            )(T)
+        if cfg.dropout > 0.0 and train:
+            x = nn.Dropout(rate=cfg.dropout)(x, deterministic=False)
+
+        padding_mask = jnp.arange(T)[None, :] < lengths[:, None]
+        attn_mask = None
+        if cfg.chunk_size > 0:
+            attn_mask = chunk_streaming_mask(
+                T,
+                cfg.chunk_size,
+                cfg.chunk_left_window,
+                cfg.chunk_right_window,
+                rng=rng if train else None,
+            )
+        elif cfg.context_left >= 0 or cfg.context_right >= 0:
+            attn_mask = limited_context_mask(
+                T,
+                cfg.context_left if cfg.context_left >= 0 else None,
+                cfg.context_right if cfg.context_right >= 0 else None,
+            )
+
+        for i in range(cfg.encoder_layers):
+            if cfg.encoder_layer_type == "conformer":
+                x = ConformerEncoderLayer(
+                    cfg.encoder_embed_dim,
+                    cfg.encoder_ffn_dim,
+                    cfg.encoder_heads,
+                    depthwise_kernel_size=cfg.depthwise_conv_kernel_size,
+                    dropout=cfg.dropout,
+                    use_relative_pos=cfg.encoder_pos_type == "relative",
+                    conv_norm_type=cfg.conformer_norm_type,
+                    name=f"layer{i}",
+                )(x, padding_mask, attn_mask, rel_pos, train=train)
+            else:
+                x = TransformerEncoderLayer(
+                    cfg.encoder_embed_dim,
+                    cfg.encoder_ffn_dim,
+                    cfg.encoder_heads,
+                    dropout=cfg.dropout,
+                    use_relative_pos=cfg.encoder_pos_type == "relative",
+                    name=f"layer{i}",
+                )(x, padding_mask, attn_mask, rel_pos, train=train)
+        x = nn.LayerNorm(name="final_norm")(x)
+        return EncoderOut(
+            encoder_out=x, encoder_padding_mask=padding_mask, src_lengths=lengths
+        )
+
+
+class TransformerDecoderLayer(nn.Module):
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    def setup(self):
+        self.self_attn = MultiheadAttention(
+            self.embed_dim, self.num_heads, dropout=self.dropout
+        )
+        self.cross_attn = MultiheadAttention(
+            self.embed_dim, self.num_heads, dropout=self.dropout
+        )
+        self.self_attn_layer_norm = nn.LayerNorm()
+        self.cross_attn_layer_norm = nn.LayerNorm()
+        self.final_layer_norm = nn.LayerNorm()
+        self.fc1 = nn.Dense(self.ffn_dim)
+        self.fc2 = nn.Dense(self.embed_dim)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        enc_out: jnp.ndarray,
+        enc_mask: jnp.ndarray,
+        self_attn_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[Dict[str, Any]] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ):
+        deterministic = not train
+        h = self.self_attn_layer_norm(x)
+        h, _, new_self_cache = self.self_attn(
+            h,
+            h,
+            h,
+            attn_mask=self_attn_mask,
+            cache=cache.get("self") if cache else None,
+            cache_index=cache_index,
+            deterministic=deterministic,
+        )
+        x = x + h
+        h = self.cross_attn_layer_norm(x)
+        if cache is not None and "cross" in cache:
+            h, attn, _ = self.cross_attn(
+                h,
+                enc_out,
+                enc_out,
+                key_padding_mask=enc_mask,
+                cache=cache["cross"],
+                deterministic=deterministic,
+                need_weights=True,
+            )
+        else:
+            h, attn, _ = self.cross_attn(
+                h,
+                enc_out,
+                enc_out,
+                key_padding_mask=enc_mask,
+                deterministic=deterministic,
+                need_weights=True,
+            )
+        x = x + h
+        h = self.final_layer_norm(x)
+        h = self.fc2(nn.relu(self.fc1(h)))
+        x = x + h
+        new_cache = None
+        if cache is not None:
+            new_cache = dict(cache)
+            if new_self_cache is not None:
+                new_cache["self"] = new_self_cache
+        return x, attn, new_cache
+
+    def make_cache(self, B: int, max_len: int, enc_out: jnp.ndarray):
+        Dh = self.embed_dim // self.num_heads
+        return {
+            "self": {
+                "k": jnp.zeros((B, max_len, self.num_heads, Dh), enc_out.dtype),
+                "v": jnp.zeros((B, max_len, self.num_heads, Dh), enc_out.dtype),
+            },
+            "cross": self.cross_attn.make_cross_attention_cache(enc_out),
+        }
+
+
+@MODELS.register("speech_transformer", config=SpeechTransformerConfig)
+class SpeechTransformerModel(nn.Module):
+    cfg: SpeechTransformerConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.encoder = SpeechTransformerEncoder(cfg, name="encoder")
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.decoder_embed_dim, name="embed_tokens"
+        )
+        self.decoder_layers_list = [
+            TransformerDecoderLayer(
+                cfg.decoder_embed_dim,
+                cfg.decoder_ffn_dim,
+                cfg.decoder_heads,
+                dropout=cfg.dropout,
+                name=f"declayer{i}",
+            )
+            for i in range(cfg.decoder_layers)
+        ]
+        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        if not cfg.share_decoder_input_output_embed:
+            self.fc_out = nn.Dense(cfg.vocab_size, name="fc_out")
+
+    # -- training forward ----------------------------------------------------
+    def __call__(
+        self,
+        src_frames: jnp.ndarray,
+        src_lengths: jnp.ndarray,
+        prev_output_tokens: jnp.ndarray,
+        train: bool = False,
+        ss_prob: float = 1.0,  # unused (parity arg)
+    ) -> Tuple[jnp.ndarray, EncoderOut]:
+        enc = self.encoder(src_frames, src_lengths, train=train)
+        logits = self.decode_sequence(prev_output_tokens, enc, train=train)
+        return logits, enc
+
+    def encode(self, src_frames, src_lengths, train: bool = False) -> EncoderOut:
+        return self.encoder(src_frames, src_lengths, train=train)
+
+    def decode_sequence(
+        self, prev_output_tokens: jnp.ndarray, enc: EncoderOut, train: bool = False
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        B, U = prev_output_tokens.shape
+        x = self.embed_tokens(prev_output_tokens) * (cfg.decoder_embed_dim ** 0.5)
+        x = x + sinusoidal_positions(U, cfg.decoder_embed_dim)
+        if cfg.dropout > 0.0 and train:
+            x = nn.Dropout(rate=cfg.dropout, name="drop_dec")(
+                x, deterministic=False
+            )
+        causal = jnp.where(
+            jnp.tril(jnp.ones((U, U), bool)), 0.0, NEG_INF
+        ).astype(jnp.float32)
+        for layer in self.decoder_layers_list:
+            x, _, _ = layer(
+                x,
+                enc.encoder_out,
+                enc.encoder_padding_mask,
+                self_attn_mask=causal,
+                train=train,
+            )
+        x = self.decoder_norm(x)
+        return self.output_projection(x)
+
+    def output_projection(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.cfg.share_decoder_input_output_embed:
+            return self.embed_tokens.attend(x)
+        return self.fc_out(x)
+
+    # -- incremental decoding --------------------------------------------------
+    def init_cache(self, enc: EncoderOut, max_len: int) -> List[Dict[str, Any]]:
+        B = enc.encoder_out.shape[0]
+        return [
+            layer.make_cache(B, max_len, enc.encoder_out)
+            for layer in self.decoder_layers_list
+        ]
+
+    def decode_step(
+        self,
+        tokens: jnp.ndarray,  # [B]
+        step_index: jnp.ndarray,  # scalar int
+        cache: List[Dict[str, Any]],
+        enc: EncoderOut,
+    ):
+        cfg = self.cfg
+        B = tokens.shape[0]
+        x = self.embed_tokens(tokens)[:, None, :] * (cfg.decoder_embed_dim ** 0.5)
+        pos_table = sinusoidal_positions(
+            cfg.max_target_positions, cfg.decoder_embed_dim
+        )
+        x = x + jax.lax.dynamic_slice(
+            pos_table, (step_index, 0), (1, cfg.decoder_embed_dim)
+        )[None]
+        new_cache = []
+        attn = None
+        for layer, layer_cache in zip(self.decoder_layers_list, cache):
+            x, attn, updated = layer(
+                x,
+                enc.encoder_out,
+                enc.encoder_padding_mask,
+                cache=layer_cache,
+                cache_index=step_index,
+            )
+            new_cache.append(updated)
+        x = self.decoder_norm(x)
+        logits = self.output_projection(x)[:, 0]
+        return logits, new_cache, (attn[:, 0] if attn is not None else None)
+
+
+# -- named architectures (speech_transformer_legacy.py:180-210) ---------------
+
+
+@register_architecture("speech_transformer", "speech_transformer_wsj")
+def _arch_st_wsj(cfg: SpeechTransformerConfig):
+    pass  # base defaults match wsj
+
+
+@register_architecture("speech_transformer", "speech_transformer_librispeech")
+def _arch_st_librispeech(cfg: SpeechTransformerConfig):
+    cfg.encoder_embed_dim = 512
+    cfg.encoder_ffn_dim = 2048
+    cfg.encoder_layers = 12
+    cfg.encoder_heads = 8
+    cfg.decoder_embed_dim = 512
+    cfg.decoder_ffn_dim = 2048
+    cfg.decoder_layers = 6
+    cfg.decoder_heads = 8
+    cfg.dropout = 0.1
+
+
+@register_architecture("speech_transformer", "speech_transformer_swbd")
+def _arch_st_swbd(cfg: SpeechTransformerConfig):
+    cfg.encoder_embed_dim = 512
+    cfg.encoder_ffn_dim = 2048
+    cfg.encoder_layers = 12
+    cfg.encoder_heads = 8
+    cfg.decoder_embed_dim = 512
+    cfg.decoder_ffn_dim = 2048
+    cfg.decoder_layers = 6
+    cfg.decoder_heads = 8
+    cfg.dropout = 0.15
