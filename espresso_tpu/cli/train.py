@@ -1,0 +1,283 @@
+"""Training entry point (espresso-compatible semantics).
+
+Rebuild of fairseq_cli/train.py (:44 main, epoch loop :183-206,
+validate_and_save :333-434) + espresso's WER validation
+(speech_recognition.py:598-629): epoch loop over a checkpointable iterator,
+jitted SPMD train step, per-epoch validation (loss + greedy WER), checkpoint
+policies, early stopping on patience, plateau LR stepping.
+
+Usage:
+    python -m espresso_tpu.cli.train --config cfg.yaml dataset.data=DIR \
+        model.name=speech_conv_lstm_wsj optimization.max_epoch=30
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espresso_tpu.config import EspressoConfig, parse_config
+from espresso_tpu.criterions import build_criterion
+from espresso_tpu.parallel.mesh import (
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    partition_params,
+    replicated,
+)
+from espresso_tpu.tasks import setup_task
+from espresso_tpu.train.checkpoint import CheckpointManager, load_checkpoint_state
+from espresso_tpu.train.lr_schedulers import PlateauScheduler
+from espresso_tpu.train.metrics import MetricsAggregator, ProgressLogger
+from espresso_tpu.train.trainer import (
+    TrainState,
+    build_optimizer,
+    create_train_state,
+    make_train_step,
+    make_valid_step,
+)
+
+logger = logging.getLogger("espresso_tpu.train")
+
+
+def put_batch(batch: Dict[str, Any], sharding) -> Dict[str, jnp.ndarray]:
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            try:
+                out[k] = jax.device_put(jnp.asarray(v), sharding)
+            except (ValueError, TypeError):
+                out[k] = jnp.asarray(v)
+    return out
+
+
+def validate(cfg, task, model, criterion, valid_step, state, valid_itr, scorer_cls):
+    from espresso_tpu.tools.wer import Scorer
+
+    agg = MetricsAggregator()
+    decoder = task.build_valid_decoder(model)
+    scorer = Scorer(task.dictionary, cfg.generation.wer_output_filter)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    for group in valid_itr:
+        for i in range(group["src_frames"].shape[0]):
+            mb = {
+                k: v[i]
+                for k, v in group.items()
+                if isinstance(v, np.ndarray)
+            }
+            stats = valid_step(state, {k: jnp.asarray(v) for k, v in mb.items()})
+            agg.update({k: float(v) for k, v in stats.items()})
+            # WER decode (reference valid_step :598-607)
+            hypos = decoder.decode(variables, mb)
+            utt_ids = group["utt_ids"][i]
+            weights = mb["weight"]
+            for b, hyp in enumerate(hypos):
+                if weights[b] <= 0:
+                    continue
+                tgt = mb["target"][b][: mb["tgt_lengths"][b]]
+                ref_str = task.dictionary.tokens_to_sentence(
+                    task.dictionary.string(tgt)
+                )
+                hyp_str = task.dictionary.tokens_to_sentence(
+                    task.dictionary.string(hyp[0]["tokens"])
+                )
+                scorer.add_evaluation(utt_ids[b], ref_str, hyp_str)
+    stats = agg.smoothed()
+    if scorer.tot_word_count() > 0:
+        stats["wer"] = scorer.wer()
+        stats["cer"] = scorer.cer()
+    return stats
+
+
+def main(argv=None) -> Dict[str, float]:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        stream=sys.stdout,
+    )
+    cfg = parse_config(argv if argv is not None else sys.argv[1:])
+    np.random.seed(cfg.common.seed)
+
+    init_distributed(
+        cfg.distributed.coordinator_address,
+        cfg.distributed.num_processes,
+        cfg.distributed.process_id,
+    )
+    mesh = make_mesh(
+        cfg.distributed.data_parallel_size, cfg.distributed.model_parallel_size
+    )
+    logger.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
+
+    task = setup_task(cfg)
+    train_ds = task.load_dataset(cfg.dataset.train_subset)
+    valid_ds = task.load_dataset(cfg.dataset.valid_subset)
+    model = task.build_model()
+    criterion = build_criterion(cfg.criterion, task)
+    logger.info("model: %s | criterion: %s", type(model).__name__, cfg.criterion.name)
+
+    optimizer, schedule = build_optimizer(cfg)
+    update_freq = cfg.optimization.update_freq[0]
+
+    shard_id = jax.process_index()
+    num_shards = jax.process_count()
+    train_itr = task.get_batch_iterator(
+        train_ds,
+        cfg.dataset.max_tokens,
+        cfg.dataset.batch_size,
+        seed=cfg.common.seed,
+        num_shards=num_shards,
+        shard_id=shard_id,
+        shuffle=True,
+        update_freq=update_freq,
+    )
+
+    # init state from one sample microbatch
+    sample_group = train_itr.make_batches(1)[0]
+    sample = train_ds.collate(sample_group[0])
+    rng = jax.random.PRNGKey(cfg.common.seed)
+    state = create_train_state(
+        model,
+        optimizer,
+        {k: jnp.asarray(v) for k, v in sample.items() if isinstance(v, np.ndarray)},
+        rng,
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info("num params: %s", f"{n_params:,}")
+
+    # shard: params replicated (DP) or partitioned (FSDP/TP)
+    param_shardings = partition_params(
+        state.params,
+        mesh,
+        fsdp=cfg.distributed.fsdp,
+        tensor_parallel=cfg.distributed.model_parallel_size > 1,
+    )
+    state = state.replace(
+        params=jax.device_put(state.params, param_shardings),
+        batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+        opt_state=jax.device_put(state.opt_state, replicated(mesh))
+        if not cfg.distributed.fsdp
+        else state.opt_state,
+    )
+
+    ckpt_mgr = CheckpointManager(cfg)
+    plateau = (
+        PlateauScheduler(cfg.lr_scheduler, cfg.optimization)
+        if cfg.lr_scheduler.name.startswith("reduce_lr_on_plateau")
+        else None
+    )
+    host_state: Dict[str, Any] = {}
+    restore = ckpt_mgr.restore_path()
+    if restore and not cfg.checkpoint.reset_optimizer:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        state, host_state = load_checkpoint_state(restore, abstract)
+        logger.info("restored checkpoint from %s", restore)
+        if not cfg.checkpoint.reset_dataloader and "iterator" in host_state:
+            train_itr.load_state_dict(host_state["iterator"])
+        if plateau is not None and "plateau" in host_state:
+            plateau.load_state_dict(host_state["plateau"])
+        ckpt_mgr.best = host_state.get("best")
+
+    train_step = jax.jit(
+        make_train_step(model, criterion, optimizer, cfg), donate_argnums=(0,)
+    )
+    valid_step = jax.jit(make_valid_step(model, criterion, cfg))
+
+    bsharding = batch_sharding(mesh, has_microbatch_axis=True)
+    progress = ProgressLogger(
+        cfg.common.log_interval,
+        cfg.common.log_format,
+        cfg.common.tensorboard_logdir,
+        tag="train",
+    )
+    max_epoch = cfg.optimization.max_epoch or 10**9
+    max_update = cfg.optimization.max_update or 10**9
+    patience_left = cfg.checkpoint.patience
+    num_updates = int(state.step)
+    final_stats: Dict[str, float] = {}
+
+    while train_itr.next_epoch_idx <= max_epoch and num_updates < max_update:
+        epoch = train_itr.next_epoch_idx
+        epoch_itr = train_itr.next_epoch_itr()
+        agg = MetricsAggregator()
+        t0 = time.perf_counter()
+        for group in epoch_itr:
+            dev_batch = put_batch(group, bsharding)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(state, dev_batch, step_rng)
+            num_updates += 1
+            agg.update({k: float(v) for k, v in metrics.items()})
+            if num_updates % cfg.common.log_interval == 0:
+                stats = agg.smoothed()
+                stats["lr"] = float(schedule(num_updates))
+                progress.log(stats, num_updates, epoch)
+            if num_updates >= max_update:
+                break
+            if (
+                cfg.checkpoint.save_interval_updates > 0
+                and num_updates % cfg.checkpoint.save_interval_updates == 0
+            ):
+                host_state = {"iterator": train_itr.state_dict()}
+                if plateau is not None:
+                    host_state["plateau"] = plateau.state_dict()
+                ckpt_mgr.save_epoch(
+                    state, host_state, epoch, end_of_epoch=False, updates=num_updates
+                )
+
+        train_stats = agg.smoothed()
+        progress.print_epoch(train_stats, epoch)
+
+        # validation
+        valid_itr_epoch = task.get_batch_iterator(
+            valid_ds,
+            cfg.dataset.max_tokens,
+            cfg.dataset.batch_size,
+            seed=cfg.common.seed,
+            shuffle=False,
+        ).next_epoch_itr()
+        val_stats = validate(
+            cfg, task, model, criterion, valid_step, state, valid_itr_epoch, None
+        )
+        vp = ProgressLogger(log_format=cfg.common.log_format, tag="valid")
+        vp.print_epoch(val_stats, epoch)
+        metric_name = cfg.checkpoint.best_checkpoint_metric
+        val_metric = val_stats.get(metric_name, val_stats.get("loss"))
+        final_stats = {**train_stats, **{f"valid_{k}": v for k, v in val_stats.items()}}
+
+        if plateau is not None and val_metric is not None:
+            new_lr = plateau.step_epoch(epoch, val_metric)
+            logger.info("plateau lr -> %g", new_lr)
+
+        # checkpoint + early stopping (reference validate_and_save :363-434)
+        improved = ckpt_mgr.best is None or (
+            val_metric < ckpt_mgr.best
+            if not cfg.checkpoint.maximize_best_checkpoint_metric
+            else val_metric > ckpt_mgr.best
+        )
+        host_state = {"iterator": train_itr.state_dict()}
+        if plateau is not None:
+            host_state["plateau"] = plateau.state_dict()
+        ckpt_mgr.save_epoch(state, host_state, epoch, val_metric=val_metric)
+        if cfg.checkpoint.patience > 0:
+            patience_left = cfg.checkpoint.patience if improved else patience_left - 1
+            if patience_left <= 0:
+                logger.info(
+                    "early stop: no improvement in %d epochs", cfg.checkpoint.patience
+                )
+                break
+
+    logger.info("done training at %d updates", num_updates)
+    return final_stats
+
+
+if __name__ == "__main__":
+    main()

@@ -221,7 +221,13 @@ class EspressoConfig:
 
 
 def _coerce(value: str) -> Any:
-    """Parse a CLI string into bool/int/float/list/str."""
+    """Parse a CLI string into bool/int/float/list/str. Bracketed values are
+    literal-evaluated (the reference's evaluatable-string convention for conv
+    shapes, speech_lstm.py:46-57)."""
+    if value[:1] in ("(", "["):
+        import ast
+
+        return ast.literal_eval(value)
     low = value.lower()
     if low in ("true", "yes"):
         return True

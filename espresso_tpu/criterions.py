@@ -1,0 +1,189 @@
+"""Criterions: pure loss functions over (model, variables, batch).
+
+Rebuild of the espresso criterion set (espresso/criterions/):
+  * ``cross_entropy_v2`` (cross_entropy_v2.py) — plain CE
+  * ``label_smoothed_cross_entropy_v2`` (label_smoothed_cross_entropy_v2.py)
+    — uniform/unigram/temporal smoothing
+  * ``ctc_loss`` (ctc_loss.py:86-97) — CTC over encoder log-probs, blank=bos,
+    EOS stripped from targets
+  * ``transducer_loss`` (transducer_loss.py:131-140) — RNNT NLL over the
+    joint lattice, optional include_eos
+
+Interface: ``criterion(model, variables, batch, rngs, train) ->
+(loss, sample_size, logging_dict)`` — a pure function of arrays so the whole
+thing jits into the train step. ``batch["weight"]`` rows of 0 (bucket shape
+padding) contribute nothing to loss or counts. Logging dicts contain only
+summable scalars (the reference's logging_outputs_can_be_summed fast path,
+trainer.py:1368-1449).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from espresso_tpu.config import CriterionSection
+from espresso_tpu.ops.ctc import ctc_loss as ctc_loss_fn
+from espresso_tpu.ops.losses import (
+    cross_entropy_loss,
+    label_smoothed_cross_entropy,
+)
+from espresso_tpu.ops.rnnt import rnnt_loss as rnnt_loss_fn
+from espresso_tpu.registry import CRITERIONS
+
+
+def _apply_model(model, variables, batch, rngs, train, ss_prob=1.0):
+    """Run the model's training forward, handling batch_stats mutability."""
+    kwargs = dict(train=train)
+    if ss_prob < 1.0:
+        kwargs["ss_prob"] = ss_prob
+    mutable = ["batch_stats"] if (train and "batch_stats" in variables) else False
+    out = model.apply(
+        variables,
+        batch["src_frames"],
+        batch["src_lengths"],
+        batch["prev_output_tokens"],
+        rngs=rngs,
+        mutable=mutable,
+        **kwargs,
+    )
+    if mutable:
+        (logits, enc), updates = out
+        return logits, enc, updates
+    logits, enc = out
+    return logits, enc, {}
+
+
+class CECriterionBase:
+    logging_keys = ("loss", "nll_loss", "ntokens")
+
+    def __init__(self, cfg: CriterionSection, task):
+        self.cfg = cfg
+        self.task = task
+        self.pad = task.dictionary.pad()
+        self.sentence_avg = False
+        self.unigram = None
+        if cfg.smoothing_type == "unigram":
+            import numpy as np
+
+            from espresso_tpu.ops.losses import unigram_probs_from_counts
+
+            self.unigram = jnp.asarray(
+                unigram_probs_from_counts(
+                    np.asarray(task.dictionary.count, dtype=np.float64),
+                    cfg.unigram_pseudo_count,
+                    self.pad,
+                )
+            )
+
+    def _mask(self, batch):
+        return (batch["target"] != self.pad) & (batch["weight"][:, None] > 0)
+
+    def sample_size(self, batch):
+        return jnp.maximum(self._mask(batch).sum(), 1)
+
+
+@CRITERIONS.register("cross_entropy_v2")
+class CrossEntropyV2(CECriterionBase):
+    def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+        logits, _, updates = _apply_model(model, variables, batch, rngs, train, ss_prob)
+        mask = self._mask(batch)
+        loss, nll = cross_entropy_loss(logits, batch["target"], mask)
+        ntokens = mask.sum()
+        logging = {"loss": loss, "nll_loss": nll, "ntokens": ntokens}
+        return loss, jnp.maximum(ntokens, 1), logging, updates
+
+
+@CRITERIONS.register("label_smoothed_cross_entropy_v2")
+class LabelSmoothedCrossEntropyV2(CECriterionBase):
+    def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+        logits, _, updates = _apply_model(model, variables, batch, rngs, train, ss_prob)
+        mask = self._mask(batch)
+        loss, nll = label_smoothed_cross_entropy(
+            logits,
+            batch["target"],
+            mask,
+            self.cfg.label_smoothing,
+            smoothing_type=self.cfg.smoothing_type,
+            pad_index=self.pad,
+            unigram_probs=self.unigram,
+        )
+        ntokens = mask.sum()
+        logging = {"loss": loss, "nll_loss": nll, "ntokens": ntokens}
+        return loss, jnp.maximum(ntokens, 1), logging, updates
+
+
+@CRITERIONS.register("ctc_loss")
+class CTCCriterion:
+    """CTC over encoder outputs (reference ctc_loss.py). blank = bos
+    (speech_recognition.py:324-328); targets have no EOS (non-autoregressive
+    dataset) or get it stripped via the mask."""
+
+    logging_keys = ("loss", "ntokens")
+
+    def __init__(self, cfg: CriterionSection, task):
+        self.cfg = cfg
+        self.task = task
+        self.pad = task.dictionary.pad()
+        self.eos = task.dictionary.eos()
+        self.blank = task.dictionary.blank()
+
+    def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+        logits, enc, updates = _apply_model(model, variables, batch, rngs, train)
+        # strip EOS from targets if present (reference :76-83)
+        target = batch["target"]
+        tgt_lengths = batch["tgt_lengths"]
+        is_eos = target == self.eos
+        target = jnp.where(is_eos, self.pad, target)
+        tgt_lengths = tgt_lengths - is_eos.sum(axis=1)
+        losses = ctc_loss_fn(
+            logits,
+            enc.src_lengths,
+            target,
+            tgt_lengths,
+            blank=self.blank,
+            zero_infinity=self.cfg.zero_infinity,
+        )
+        loss = (losses * batch["weight"]).sum()
+        ntokens = (tgt_lengths * batch["weight"]).sum()
+        sample_size = jnp.maximum(ntokens, 1)
+        logging = {"loss": loss, "ntokens": ntokens}
+        return loss, sample_size, logging, updates
+
+
+@CRITERIONS.register("transducer_loss")
+class TransducerCriterion:
+    """RNNT loss on the full joint lattice (reference transducer_loss.py:131).
+
+    The dataset for transducer training is non-autoregressive (targets
+    without EOS) unless include_eos is set, matching the task wiring
+    (transducer_loss.py:40 II-link)."""
+
+    logging_keys = ("loss", "nsentences")
+
+    def __init__(self, cfg: CriterionSection, task):
+        self.cfg = cfg
+        self.task = task
+        self.pad = task.dictionary.pad()
+        self.blank = task.dictionary.blank()
+
+    def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+        lattice, enc, updates = _apply_model(model, variables, batch, rngs, train)
+        # lattice [B, T, U+1, V]: prev_output_tokens has length U+1 (eos-led)
+        losses = rnnt_loss_fn(
+            lattice,
+            batch["target"][:, : lattice.shape[2] - 1],
+            enc.src_lengths,
+            jnp.minimum(batch["tgt_lengths"], lattice.shape[2] - 1),
+            blank=self.blank,
+        )
+        loss = (losses * batch["weight"]).sum()
+        nsentences = jnp.maximum(batch["weight"].sum(), 1)
+        logging = {"loss": loss, "nsentences": nsentences}
+        return loss, nsentences, logging, updates
+
+
+def build_criterion(cfg: CriterionSection, task):
+    return CRITERIONS.build(cfg.name, cfg, task)

@@ -199,6 +199,54 @@ class AsrDataset:
             )
         return specs
 
+    # -- update-freq grouping --------------------------------------------------
+    @staticmethod
+    def group_specs(specs: List[BatchSpec], update_freq: int) -> List[List[BatchSpec]]:
+        """Group specs of identical shape into chunks of ``update_freq``
+        (grad-accum microbatches must share one XLA shape). Short final
+        chunks are padded with zero-weight copies of their last spec so every
+        group compiles to the same [update_freq, B, T, U] program."""
+        if update_freq <= 1:
+            return [[s] for s in specs]
+        from collections import defaultdict
+
+        by_shape: Dict[Tuple[int, int, int], List[BatchSpec]] = defaultdict(list)
+        for s in specs:
+            by_shape[(len(s.indices), s.src_bucket, s.tgt_bucket)].append(s)
+        groups: List[List[BatchSpec]] = []
+        for shape_key, lst in by_shape.items():
+            for i in range(0, len(lst), update_freq):
+                chunk = list(lst[i : i + update_freq])
+                while len(chunk) < update_freq:
+                    pad_spec = BatchSpec(
+                        indices=chunk[-1].indices,
+                        num_real=0,  # all-zero weight: contributes nothing
+                        src_bucket=chunk[-1].src_bucket,
+                        tgt_bucket=chunk[-1].tgt_bucket,
+                    )
+                    chunk.append(pad_spec)
+                groups.append(chunk)
+        return groups
+
+    def collate_group(self, group: List["BatchSpec"], epoch: int = 1) -> Dict[str, Any]:
+        """Collate a same-shape spec group into stacked arrays
+        [n_micro, B, ...] for the grad-accum scan."""
+        parts = [self.collate(s, epoch) for s in group]
+        out: Dict[str, Any] = {}
+        for key in (
+            "src_frames",
+            "src_lengths",
+            "target",
+            "prev_output_tokens",
+            "tgt_lengths",
+            "weight",
+        ):
+            out[key] = np.stack([p[key] for p in parts])
+        out["utt_ids"] = [p["utt_ids"] for p in parts]
+        out["ntokens"] = sum(p["ntokens"] for p in parts)
+        out["nsentences"] = sum(p["nsentences"] for p in parts)
+        return out
+
     # -- collation ------------------------------------------------------------
     def collate(self, spec: BatchSpec, epoch: int = 1) -> Dict[str, Any]:
         B = len(spec.indices)

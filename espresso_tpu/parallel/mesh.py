@@ -1,0 +1,131 @@
+"""Device mesh construction and parameter sharding rules.
+
+TPU-native replacement for the reference's whole distributed stack
+(fairseq/distributed/: NCCL init, DDP wrappers, fairscale FSDP/OSS, Megatron
+MPU — SURVEY.md §2.4): one ``jax.sharding.Mesh`` with axes ``(data, model)``;
+XLA inserts all collectives over ICI/DCN.
+
+  * **DP** (reference pytorch_ddp/legacy_ddp): batch sharded on ``data``,
+    params replicated. Gradient psum is inserted by XLA — no allreduce code.
+  * **FSDP / ZeRO** (reference fully_sharded + zero_sharding=os): params and
+    optimizer state sharded on ``data`` along each array's largest divisible
+    axis; XLA all-gathers weights per layer on use.
+  * **TP** (reference Megatron model_parallel/): regex rules shard attention
+    QKV/out and FFN kernels on ``model`` in the Megatron column/row layout.
+
+Multi-host: call ``jax.distributed.initialize`` (coordinator address from
+config) before mesh construction; per-host data loading uses shard_id =
+process_index (the reference's --num-shards/--shard-id semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data_parallel_size: int = -1,
+    model_parallel_size: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data_parallel_size == -1:
+        assert n % model_parallel_size == 0, (n, model_parallel_size)
+        data_parallel_size = n // model_parallel_size
+    assert data_parallel_size * model_parallel_size == n, (
+        f"mesh {data_parallel_size}x{model_parallel_size} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(data_parallel_size, model_parallel_size)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, has_microbatch_axis: bool = False) -> NamedSharding:
+    """Shard the batch dim on 'data' (axis 0, or axis 1 under grad-accum)."""
+    if has_microbatch_axis:
+        return NamedSharding(mesh, P(None, "data"))
+    return NamedSharding(mesh, P("data"))
+
+
+# Megatron-style TP rules: (path regex, PartitionSpec) — first match wins.
+# Dense kernels are [in, out]: column-parallel shards out, row-parallel in.
+TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r".*(q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+    (r".*out_proj/kernel$", P("model", None)),
+    (r".*(fc1|ffn1/Dense_0|ffn2/Dense_0)/kernel$", P(None, "model")),
+    (r".*(fc2|ffn1/Dense_1|ffn2/Dense_1)/kernel$", P("model", None)),
+    (r".*embed_tokens/embedding$", P("model", None)),
+)
+
+
+def _fsdp_spec(path: str, shape: Tuple[int, ...], data_size: int) -> P:
+    """Shard the largest divisible axis on 'data' (simple FSDP rule)."""
+    if not shape or max(shape) < 2 * data_size:
+        return P()
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for axis in order:
+        if shape[axis] % data_size == 0:
+            spec = [None] * len(shape)
+            spec[axis] = "data"
+            return P(*spec)
+    return P()
+
+
+def partition_params(
+    params: Any,
+    mesh: Mesh,
+    fsdp: bool = False,
+    tensor_parallel: bool = False,
+) -> Any:
+    """Return a NamedSharding pytree matching ``params``."""
+    data_size = mesh.shape["data"]
+    model_size = mesh.shape["model"]
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    shardings = []
+    for path, leaf in flat:
+        path_str = "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path
+        )
+        spec = P()
+        if tensor_parallel and model_size > 1:
+            for pattern, tp_spec in TP_RULES:
+                if re.match(pattern, path_str):
+                    # only apply if divisible
+                    ok = True
+                    for dim, ax in zip(leaf.shape, tp_spec):
+                        if ax == "model" and dim % model_size != 0:
+                            ok = False
+                    if ok:
+                        spec = tp_spec
+                    break
+        if fsdp and spec == P():
+            spec = _fsdp_spec(path_str, leaf.shape, data_size)
+        shardings.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: int = 1,
+    process_id: int = 0,
+) -> None:
+    """Multi-host bring-up (replaces reference distributed_init,
+    fairseq/distributed/utils.py:239): one process per host, TPU runtime owns
+    local devices."""
+    if coordinator_address and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )

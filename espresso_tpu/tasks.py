@@ -1,0 +1,233 @@
+"""Tasks: dataset/model/criterion wiring.
+
+Rebuild of espresso/tasks/speech_recognition.py
+(`SpeechRecognitionEspressoTask`, :272): loads the AsrDictionary (blank=bos
+for CTC/transducer criteria, :324-328), probes feat_dim from the validation
+manifest (:355-378), builds datasets from JSON manifests (:414-469), the
+model from the named architecture, the criterion, and the per-criterion
+validation decoder (:479-518). The hybrid task
+(speech_recognition_hybrid.py:363) and LM task
+(language_modeling_for_asr.py) share the surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+import espresso_tpu.models  # noqa: F401 — populate the model registry
+from espresso_tpu.config import EspressoConfig
+from espresso_tpu.data import kaldi_io
+from espresso_tpu.data.dataset import AsrDataset
+from espresso_tpu.data.dictionary import AsrDictionary
+from espresso_tpu.data.encoders import CharactersAsr
+from espresso_tpu.data.iterators import EpochBatchIterator
+from espresso_tpu.data.manifest import load_manifest
+from espresso_tpu.registry import MODELS, TASKS, apply_architecture
+
+logger = logging.getLogger(__name__)
+
+
+@TASKS.register("speech_recognition_espresso")
+class SpeechRecognitionEspressoTask:
+    """End-to-end ASR task (reference speech_recognition.py:272)."""
+
+    def __init__(self, cfg: EspressoConfig):
+        self.cfg = cfg
+        crit = cfg.criterion.name
+        enable_bos = crit in ("ctc_loss", "transducer_loss")
+        self.autoregressive = crit not in ("ctc_loss", "transducer_loss")
+        # transducer prev_output_tokens is eos-led (input feeding) while the
+        # loss consumes raw targets: keep autoregressive-style collation but
+        # loss strips via lengths.
+        if crit == "transducer_loss":
+            self.autoregressive = True
+        dict_path = cfg.dataset.dict or os.path.join(
+            cfg.dataset.data, "dict.txt"
+        )
+        self.dictionary = AsrDictionary.load(
+            dict_path,
+            enable_bos=enable_bos,
+            non_lang_syms=cfg.dataset.non_lang_syms,
+        )
+        self.tokenizer = CharactersAsr()
+        self.datasets: Dict[str, AsrDataset] = {}
+        self.feat_dim = cfg.dataset.feat_dim
+
+    # -- data ---------------------------------------------------------------
+    def load_dataset(self, split: str) -> AsrDataset:
+        if split in self.datasets:
+            return self.datasets[split]
+        entries = load_manifest(self.cfg.dataset.data, split)
+        ds = AsrDataset(
+            entries,
+            self.dictionary,
+            feat_dim=self.cfg.dataset.feat_dim,
+            feature_type=self.cfg.dataset.feature_type,
+            sample_rate=self.cfg.dataset.sample_rate,
+            autoregressive=self.autoregressive,
+            tokenizer=self.tokenizer,
+        )
+        # probe feat dim from the first utterance (reference :355-378)
+        probe = ds.get_features(0)
+        if probe.shape[1] != self.feat_dim:
+            logger.info("probed feat_dim=%d from data", probe.shape[1])
+            self.feat_dim = probe.shape[1]
+        self.datasets[split] = ds
+        return ds
+
+    def get_batch_iterator(
+        self,
+        dataset: AsrDataset,
+        max_tokens: Optional[int],
+        max_sentences: Optional[int],
+        seed: int = 1,
+        num_shards: int = 1,
+        shard_id: int = 0,
+        shuffle: bool = True,
+        epoch: int = 1,
+        update_freq: int = 1,
+    ) -> EpochBatchIterator:
+        dcfg = self.cfg.dataset
+
+        def make_batches(ep: int):
+            specs = dataset.make_batch_specs(
+                max_tokens=max_tokens,
+                max_sentences=max_sentences,
+                num_buckets=dcfg.num_batch_buckets,
+                required_batch_size_multiple=dcfg.required_batch_size_multiple,
+                max_source_positions=dcfg.max_source_positions,
+                max_target_positions=dcfg.max_target_positions,
+                shuffle=shuffle,
+                seed=seed,
+                epoch=ep,
+            )
+            return dataset.group_specs(specs, update_freq)
+
+        return EpochBatchIterator(
+            make_batches,
+            lambda group, ep: dataset.collate_group(group, ep),
+            seed=seed,
+            num_shards=num_shards,
+            shard_id=shard_id,
+            buffer_size=dcfg.data_buffer_size,
+            shuffle=shuffle,
+            epoch=epoch,
+        )
+
+    # -- model --------------------------------------------------------------
+    def build_model(self):
+        model_section = dict(self.cfg.model)
+        arch = model_section.pop("name")
+        # resolve arch preset -> base model name
+        from espresso_tpu.registry import ARCHITECTURES
+
+        base_name = ARCHITECTURES[arch][0] if arch in ARCHITECTURES else arch
+        cfg_cls = MODELS.config_class(base_name)
+        model_cfg = cfg_cls()
+        apply_architecture(arch, model_cfg)
+        # user overrides from the model config section (nested dicts merge
+        # into nested sub-configs, e.g. model.encoder.*)
+        def merge(target, overrides: Dict[str, Any]):
+            for key, value in overrides.items():
+                if not hasattr(target, key):
+                    raise KeyError(f"unknown model config key {key!r}")
+                cur = getattr(target, key)
+                if dataclasses.is_dataclass(cur) and isinstance(value, dict):
+                    merge(cur, value)
+                    continue
+                if isinstance(cur, tuple):
+                    if isinstance(value, (int, float)):
+                        value = (value,)
+                    if isinstance(value, (list, tuple)):
+                        value = tuple(
+                            tuple(v) if isinstance(v, (list, tuple)) else v
+                            for v in value
+                        )
+                setattr(target, key, value)
+
+        merge(model_cfg, model_section)
+        model_cfg.vocab_size = len(self.dictionary)
+        model_cfg.feat_dim = self.feat_dim
+        if hasattr(model_cfg, "pad_index"):
+            model_cfg.pad_index = self.dictionary.pad()
+        model_cls = MODELS.get(base_name)
+        self.model_cfg = model_cfg
+        return model_cls(model_cfg)
+
+    def build_criterion(self):
+        from espresso_tpu.criterions import build_criterion
+
+        return build_criterion(self.cfg.criterion, self)
+
+    # -- decoding hooks (per-criterion validation decoder, reference
+    # :479-518) --------------------------------------------------------------
+    def build_valid_decoder(self, model):
+        crit = self.cfg.criterion.name
+        if crit == "transducer_loss":
+            from espresso_tpu.decode.transducer_greedy import (
+                TransducerGreedyDecoder,
+            )
+
+            return TransducerGreedyDecoder(model, self.dictionary)
+        if crit == "ctc_loss":
+            from espresso_tpu.decode.ctc_decoder import CTCGreedyDecoder
+
+            return CTCGreedyDecoder(model, self.dictionary)
+        from espresso_tpu.decode.greedy import SimpleGreedyDecoder
+
+        return SimpleGreedyDecoder(model, self.dictionary)
+
+    def build_generator(self, model, gen_cfg=None, lm=None, lm_weight=0.0):
+        """Inference-time decoder selection (reference :526-596)."""
+        gen_cfg = gen_cfg or self.cfg.generation
+        crit = self.cfg.criterion.name
+        if crit == "transducer_loss":
+            if gen_cfg.beam <= 1:
+                from espresso_tpu.decode.transducer_greedy import (
+                    TransducerGreedyDecoder,
+                )
+
+                return TransducerGreedyDecoder(model, self.dictionary)
+            from espresso_tpu.decode.transducer_beam import (
+                TransducerBeamSearchDecoder,
+            )
+
+            return TransducerBeamSearchDecoder(
+                model,
+                self.dictionary,
+                beam_size=gen_cfg.beam,
+                expansion_beta=gen_cfg.expansion_beta,
+                expansion_gamma=gen_cfg.expansion_gamma,
+                max_num_expansions_per_step=gen_cfg.max_num_expansions_per_step,
+                lm=lm,
+                lm_weight=lm_weight,
+            )
+        if crit == "ctc_loss":
+            from espresso_tpu.decode.ctc_decoder import CTCGreedyDecoder
+
+            return CTCGreedyDecoder(model, self.dictionary)
+        from espresso_tpu.decode.beam_search import BeamSearchDecoder
+
+        return BeamSearchDecoder(
+            model,
+            self.dictionary,
+            beam_size=gen_cfg.beam,
+            max_len_a=gen_cfg.max_len_a,
+            max_len_b=gen_cfg.max_len_b,
+            min_len=gen_cfg.min_len,
+            len_penalty=gen_cfg.lenpen,
+            eos_factor=gen_cfg.eos_factor,
+            temperature=gen_cfg.temperature,
+            lm=lm,
+            lm_weight=lm_weight,
+        )
+
+
+def setup_task(cfg: EspressoConfig):
+    return TASKS.build(cfg.task.name, cfg)

@@ -1,0 +1,165 @@
+"""Checkpoint save/load with espresso policy semantics.
+
+Rebuild of fairseq/checkpoint_utils.py: save policy best/last/epoch/
+every-N-updates/keep-K (:35-186), resume restoring model+optimizer+lr+epoch
+iterator (:188-279), and checkpoint averaging
+(scripts/average_checkpoints.py). Array state goes through orbax
+(atomic directory rename == the reference's atomic tmp+rename); host-side
+state (epoch iterator position, plateau scheduler, best metric) rides in a
+JSON sidecar.
+
+Checkpoint names mirror the reference: ``checkpoint_last``,
+``checkpoint_best``, ``checkpoint{epoch}``, ``checkpoint_{epoch}_{updates}``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+import shutil
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+
+def _ckpt_path(save_dir: str, name: str) -> str:
+    return os.path.join(os.path.abspath(save_dir), name)
+
+
+def save_checkpoint_state(path: str, state, host_state: Dict[str, Any]) -> None:
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"), state)
+    with open(os.path.join(path, "host_state.json"), "w") as f:
+        json.dump(host_state, f)
+
+
+def load_checkpoint_state(path: str, abstract_state):
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.join(path, "state"), abstract_state)
+    host_path = os.path.join(path, "host_state.json")
+    host_state: Dict[str, Any] = {}
+    if os.path.exists(host_path):
+        with open(host_path) as f:
+            host_state = json.load(f)
+    return state, host_state
+
+
+class CheckpointManager:
+    """Save policy driver (reference checkpoint_utils.save_checkpoint
+    :35-186)."""
+
+    def __init__(self, cfg, maximize_best: Optional[bool] = None):
+        self.cfg = cfg.checkpoint
+        self.save_dir = self.cfg.save_dir
+        self.maximize_best = (
+            maximize_best
+            if maximize_best is not None
+            else self.cfg.maximize_best_checkpoint_metric
+        )
+        self.best: Optional[float] = None
+        os.makedirs(self.save_dir, exist_ok=True)
+
+    def _is_better(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        return metric > self.best if self.maximize_best else metric < self.best
+
+    def save_epoch(
+        self,
+        state,
+        host_state: Dict[str, Any],
+        epoch: int,
+        val_metric: Optional[float] = None,
+        end_of_epoch: bool = True,
+        updates: int = 0,
+    ) -> List[str]:
+        if self.cfg.no_save:
+            return []
+        cfg = self.cfg
+        saved = []
+        host_state = dict(host_state)
+        host_state["best"] = self.best
+        if val_metric is not None and self._is_better(val_metric):
+            self.best = val_metric
+            host_state["best"] = self.best
+            save_checkpoint_state(
+                _ckpt_path(self.save_dir, "checkpoint_best"), state, host_state
+            )
+            saved.append("checkpoint_best")
+        if end_of_epoch and cfg.save_interval > 0 and epoch % cfg.save_interval == 0:
+            name = f"checkpoint{epoch}"
+            save_checkpoint_state(
+                _ckpt_path(self.save_dir, name), state, host_state
+            )
+            saved.append(name)
+        if (
+            not end_of_epoch
+            and cfg.save_interval_updates > 0
+            and updates % cfg.save_interval_updates == 0
+        ):
+            name = f"checkpoint_{epoch}_{updates}"
+            save_checkpoint_state(
+                _ckpt_path(self.save_dir, name), state, host_state
+            )
+            saved.append(name)
+        save_checkpoint_state(
+            _ckpt_path(self.save_dir, "checkpoint_last"), state, host_state
+        )
+        saved.append("checkpoint_last")
+        self._prune()
+        return saved
+
+    def _prune(self) -> None:
+        keep = self.cfg.keep_last_epochs
+        if keep <= 0:
+            return
+        epochs = []
+        for name in os.listdir(self.save_dir):
+            m = re.fullmatch(r"checkpoint(\d+)", name)
+            if m:
+                epochs.append(int(m.group(1)))
+        for old in sorted(epochs)[:-keep]:
+            shutil.rmtree(
+                _ckpt_path(self.save_dir, f"checkpoint{old}"),
+                ignore_errors=True,
+            )
+
+    def restore_path(self) -> Optional[str]:
+        name = self.cfg.restore_file
+        path = _ckpt_path(self.save_dir, name)
+        if os.path.exists(path):
+            return path
+        return None
+
+
+def average_checkpoints(paths: List[str], abstract_state):
+    """Parameter averaging (reference scripts/average_checkpoints.py, used by
+    the swbd recipe)."""
+    assert paths
+    acc = None
+    n = 0
+    for p in paths:
+        state, _ = load_checkpoint_state(p, abstract_state)
+        params = state.params
+        if acc is None:
+            acc = jax.tree_util.tree_map(
+                lambda x: np.asarray(x, dtype=np.float64), params
+            )
+        else:
+            acc = jax.tree_util.tree_map(
+                lambda a, x: a + np.asarray(x, dtype=np.float64), acc, params
+            )
+        n += 1
+        last_state = state
+    avg = jax.tree_util.tree_map(lambda a: (a / n).astype(np.float32), acc)
+    return last_state.replace(params=avg)

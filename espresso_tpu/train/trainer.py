@@ -1,0 +1,266 @@
+"""Trainer: jitted SPMD train/valid steps with grad accumulation.
+
+Rebuild of fairseq/trainer.py's update-step state machine (grad-accum with
+no_sync :801-819, grad allreduce → scale → clip :903-930, overflow/NaN
+branches :940-998, EMA :1011-1023) as ONE jitted function over a device mesh:
+
+  * grad accumulation = ``lax.scan`` over a leading microbatch axis
+    (the reference's update_freq microloop, GroupedIterator)
+  * grad averaging over data-parallel ranks: implicit — the batch is sharded
+    on the ``data`` mesh axis and XLA inserts the psum
+  * non-finite loss/grad -> the update is skipped in-graph and an overflow
+    counter is bumped (reference AMP overflow retry semantics)
+  * bf16 compute with fp32 master params: inputs/activations cast to the
+    configured dtype, params stay fp32, grads accumulate fp32
+  * optional EMA of params (fairseq/models/ema)
+
+State lives in a ``TrainState`` pytree sharded per the mesh rules
+(parallel/mesh.py); checkpointing is orbax over the same pytree.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from espresso_tpu.config import EspressoConfig
+from espresso_tpu.train.lr_schedulers import build_lr_schedule
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any = None
+    overflow_count: jnp.ndarray = flax.struct.field(default=None)
+
+
+def build_optimizer(cfg: EspressoConfig) -> Tuple[optax.GradientTransformation, Callable]:
+    """Build the optax chain (reference fairseq/optim/: adam/adafactor/sgd/...)
+    with schedule-driven LR and global-norm clipping."""
+    schedule = build_lr_schedule(cfg.lr_scheduler, cfg.optimization)
+    name = cfg.optimizer.name
+    if name == "adam":
+        core = optax.scale_by_adam(
+            b1=cfg.optimizer.adam_betas[0],
+            b2=cfg.optimizer.adam_betas[1],
+            eps=cfg.optimizer.adam_eps,
+        )
+    elif name == "adamw":
+        core = optax.chain(
+            optax.scale_by_adam(
+                b1=cfg.optimizer.adam_betas[0],
+                b2=cfg.optimizer.adam_betas[1],
+                eps=cfg.optimizer.adam_eps,
+            ),
+            optax.add_decayed_weights(cfg.optimizer.weight_decay),
+        )
+    elif name == "adafactor":
+        core = optax.adafactor(learning_rate=None)
+    elif name == "adagrad":
+        core = optax.scale_by_rss(initial_accumulator_value=0.0)
+    elif name == "adadelta":
+        core = optax.scale_by_adadelta()
+    elif name == "adamax":
+        core = optax.scale_by_adamax(
+            b1=cfg.optimizer.adam_betas[0], b2=cfg.optimizer.adam_betas[1]
+        )
+    elif name == "sgd":
+        core = optax.identity()
+    elif name == "nag":
+        core = optax.trace(decay=cfg.optimizer.momentum, nesterov=True)
+    elif name == "momentum":
+        core = optax.trace(decay=cfg.optimizer.momentum, nesterov=False)
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    chain = [core]
+    if cfg.optimizer.weight_decay > 0.0 and name not in ("adamw",):
+        chain.append(optax.add_decayed_weights(cfg.optimizer.weight_decay))
+    chain.append(optax.scale_by_schedule(lambda s: -schedule(s)))
+    return optax.chain(*chain), schedule
+
+
+def cast_floats(tree, dtype):
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def make_train_step(
+    model,
+    criterion,
+    optimizer: optax.GradientTransformation,
+    cfg: EspressoConfig,
+    ema_decay: float = 0.0,
+):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    ``batch`` arrays have a leading microbatch axis [update_freq, B, ...]
+    (always present; use 1 for no accumulation). Donated and jitted by the
+    caller with the desired shardings.
+    """
+    compute_dtype = (
+        jnp.bfloat16 if cfg.common.dtype == "bfloat16" else jnp.float32
+    )
+    clip_norm = cfg.optimization.clip_norm
+    ss_prob_fn = getattr(criterion, "ss_prob_fn", None)
+
+    def loss_for_microbatch(params, batch_stats, microbatch, rng):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mb = dict(microbatch)
+        mb["src_frames"] = mb["src_frames"].astype(compute_dtype)
+        rngs = {"dropout": rng, "sampling": jax.random.fold_in(rng, 1)}
+        loss, sample_size, logging, updates = criterion(
+            model, variables, mb, rngs=rngs, train=True
+        )
+        new_stats = updates.get("batch_stats", batch_stats)
+        return loss, (sample_size, logging, new_stats)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        n_micro = batch["src_frames"].shape[0]
+
+        def microstep(carry, inputs):
+            grads_acc, stats, loss_acc, size_acc, log_acc = carry
+            mb, mb_rng = inputs
+            (loss, (sample_size, logging, new_stats)), grads = (
+                jax.value_and_grad(loss_for_microbatch, has_aux=True)(
+                    state.params, stats, mb, mb_rng
+                )
+            )
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            log_acc = {
+                k: log_acc[k] + logging[k].astype(jnp.float32) for k in log_acc
+            }
+            return (
+                grads_acc,
+                new_stats,
+                loss_acc + loss.astype(jnp.float32),
+                size_acc + sample_size.astype(jnp.float32),
+                log_acc,
+            ), None
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        rngs = jax.random.split(rng, n_micro)
+        (grads, new_stats, loss_sum, size_sum, logs), _ = jax.lax.scan(
+            microstep,
+            (
+                zero_grads,
+                state.batch_stats,
+                jnp.zeros((), jnp.float32),
+                jnp.zeros((), jnp.float32),
+                {
+                    k: jnp.zeros((), jnp.float32)
+                    for k in criterion.logging_keys
+                },
+            ),
+            (batch, rngs),
+        )
+
+        # scale grads by 1/sample_size (reference multiply_grads
+        # world_size/sample_size — sample_size here is already global because
+        # the batch is sharded over 'data' and reductions psum)
+        inv = jnp.where(size_sum > 0, 1.0 / size_sum, 0.0)
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+
+        gnorm = optax.global_norm(grads)
+        if clip_norm > 0:
+            scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+        finite = jnp.isfinite(gnorm) & jnp.isfinite(loss_sum)
+
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        # skip the update when non-finite (reference overflow retry)
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_params,
+            state.params,
+        )
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_opt_state,
+            state.opt_state,
+        )
+        new_ema = state.ema_params
+        if ema_decay > 0.0 and state.ema_params is not None:
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                state.ema_params,
+                new_params,
+            )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+            overflow_count=state.overflow_count + (~finite).astype(jnp.int32),
+        )
+        metrics = {
+            "loss": loss_sum,
+            "sample_size": size_sum,
+            "gnorm": gnorm,
+            "overflow": (~finite).astype(jnp.float32),
+            **logs,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_valid_step(model, criterion, cfg: EspressoConfig):
+    compute_dtype = (
+        jnp.bfloat16 if cfg.common.dtype == "bfloat16" else jnp.float32
+    )
+
+    def valid_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        mb = dict(batch)
+        mb["src_frames"] = mb["src_frames"].astype(compute_dtype)
+        loss, sample_size, logging, _ = criterion(
+            model, variables, mb, rngs=None, train=False
+        )
+        return {"loss": loss, "sample_size": sample_size, **logging}
+
+    return valid_step
+
+
+def create_train_state(
+    model,
+    optimizer: optax.GradientTransformation,
+    sample_batch: Dict[str, jnp.ndarray],
+    rng,
+    ema: bool = False,
+) -> TrainState:
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 7)},
+        sample_batch["src_frames"],
+        sample_batch["src_lengths"],
+        sample_batch["prev_output_tokens"],
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        ema_params=jax.tree_util.tree_map(lambda x: x, params) if ema else None,
+        overflow_count=jnp.zeros((), jnp.int32),
+    )
