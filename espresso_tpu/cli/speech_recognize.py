@@ -1,0 +1,182 @@
+"""Recognition entry point (espresso-compatible outputs).
+
+Rebuild of espresso/speech_recognize.py: loads a trained checkpoint, decodes
+a test split with the task-selected generator (beam search / CTC /
+transducer; LM fusion wiring :111-166), prints hypotheses, and writes
+``decoded_results.txt``, ``wer``, ``cer``, ``aligned_results.txt``
+(:341-387) plus decode throughput ("Recognized N utterances ...", :326-334).
+
+Usage:
+    python -m espresso_tpu.cli.speech_recognize --config cfg.yaml \
+        dataset.data=DIR dataset.gen_subset=test generation.beam=10 \
+        checkpoint.save_dir=ckpts [generation.lm_path=... generation.lm_weight=0.47]
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espresso_tpu.config import EspressoConfig, parse_config
+from espresso_tpu.tasks import setup_task
+from espresso_tpu.tools.wer import Scorer
+from espresso_tpu.train.checkpoint import load_checkpoint_state
+from espresso_tpu.train.trainer import build_optimizer, create_train_state
+
+logger = logging.getLogger("espresso_tpu.recognize")
+
+
+def load_model_for_decoding(cfg: EspressoConfig, task):
+    """Build the model and restore checkpoint params (reference
+    load_model_ensemble, checkpoint_utils.py:347)."""
+    model = task.build_model()
+    # init to get the shape tree, then restore
+    ds = task.load_dataset(cfg.dataset.gen_subset)
+    spec = ds.make_batch_specs(
+        max_tokens=cfg.dataset.max_tokens,
+        max_sentences=cfg.dataset.batch_size or 8,
+        num_buckets=1,
+        shuffle=False,
+    )[0]
+    sample = ds.collate(spec)
+    optimizer, _ = build_optimizer(cfg)
+    state = create_train_state(
+        model,
+        optimizer,
+        {
+            k: jnp.asarray(v)
+            for k, v in sample.items()
+            if isinstance(v, np.ndarray)
+        },
+        jax.random.PRNGKey(0),
+    )
+    path = os.path.join(
+        cfg.checkpoint.save_dir, cfg.checkpoint.restore_file
+    )
+    if os.path.exists(path):
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        )
+        state, _ = load_checkpoint_state(path, abstract)
+        logger.info("loaded checkpoint %s", path)
+    else:
+        logger.warning("no checkpoint at %s — decoding with random init", path)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    return model, variables
+
+
+def build_lm(cfg: EspressoConfig, task):
+    """LM fusion wiring (reference speech_recognize.py:111-166)."""
+    if not cfg.generation.lm_path or cfg.generation.lm_weight == 0.0:
+        return None, None
+    import pickle
+
+    from espresso_tpu.models.lstm_lm import LSTMLanguageModel, LSTMLMConfig
+
+    with open(cfg.generation.lm_path, "rb") as f:
+        blob = pickle.load(f)
+    lm_cfg = LSTMLMConfig(**blob["config"])
+    lm = LSTMLanguageModel(lm_cfg)
+    return lm, {"params": blob["params"]}
+
+
+def main(argv=None) -> Dict[str, float]:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        stream=sys.stdout,
+    )
+    cfg = parse_config(argv if argv is not None else sys.argv[1:])
+    task = setup_task(cfg)
+    ds = task.load_dataset(cfg.dataset.gen_subset)
+    model, variables = load_model_for_decoding(cfg, task)
+    lm, lm_variables = build_lm(cfg, task)
+    generator = task.build_generator(
+        model, cfg.generation, lm=lm, lm_weight=cfg.generation.lm_weight
+    )
+    if lm is not None and hasattr(generator, "lm_variables"):
+        generator.lm_variables = lm_variables
+
+    itr = task.get_batch_iterator(
+        ds,
+        cfg.dataset.max_tokens,
+        cfg.dataset.batch_size or 8,
+        shuffle=False,
+    ).next_epoch_itr()
+
+    scorer = Scorer(task.dictionary, cfg.generation.wer_output_filter)
+    num_utts = 0
+    num_tokens = 0
+    t0 = time.perf_counter()
+    has_ref = False
+    for group in itr:
+        for i in range(group["src_frames"].shape[0]):
+            mb = {
+                k: v[i] for k, v in group.items() if isinstance(v, np.ndarray)
+            }
+            hypos = generator.decode(variables, mb)
+            utt_ids = group["utt_ids"][i]
+            for b, hyp_list in enumerate(hypos):
+                if mb["weight"][b] <= 0:
+                    continue
+                num_utts += 1
+                best = hyp_list[0]
+                num_tokens += len(best["tokens"])
+                hyp_str = task.dictionary.tokens_to_sentence(
+                    task.dictionary.string(best["tokens"])
+                )
+                scorer.add_prediction(utt_ids[b], hyp_str)
+                if mb["tgt_lengths"][b] > 0:
+                    has_ref = True
+                    tgt = mb["target"][b][: mb["tgt_lengths"][b]]
+                    ref_str = task.dictionary.tokens_to_sentence(
+                        task.dictionary.string(
+                            tgt, extra_symbols_to_ignore={task.dictionary.pad()}
+                        )
+                    )
+                    scorer.add_evaluation(utt_ids[b], ref_str, hyp_str)
+    elapsed = time.perf_counter() - t0
+    logger.info(
+        "Recognized %d utterances in %.1fs (%.2f sentences/s, %.2f tokens/s)",
+        num_utts,
+        elapsed,
+        num_utts / max(elapsed, 1e-6),
+        num_tokens / max(elapsed, 1e-6),
+    )
+
+    results: Dict[str, float] = {"num_utts": num_utts}
+    out_dir = cfg.generation.results_path or cfg.checkpoint.save_dir
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "decoded_results.txt"), "w") as f:
+        f.write(scorer.results)
+    if has_ref:
+        results["wer"] = scorer.wer()
+        results["cer"] = scorer.cer()
+        with open(os.path.join(out_dir, "wer"), "w") as f:
+            f.write(
+                f"WER: {scorer.wer():.2f}%, "
+                f"{scorer.tot_word_error()} / {scorer.tot_word_count()}\n"
+            )
+        with open(os.path.join(out_dir, "cer"), "w") as f:
+            f.write(
+                f"CER: {scorer.cer():.2f}%, "
+                f"{scorer.tot_char_error()} / {scorer.tot_char_count()}\n"
+            )
+        with open(os.path.join(out_dir, "aligned_results.txt"), "w") as f:
+            f.write(scorer.aligned_results)
+        logger.info("WER: %.2f%%  CER: %.2f%%", scorer.wer(), scorer.cer())
+    return results
+
+
+if __name__ == "__main__":
+    main()

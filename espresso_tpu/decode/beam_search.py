@@ -1,0 +1,292 @@
+"""Batched on-device beam search with LM shallow fusion.
+
+Rebuild of fairseq/sequence_generator.py:212-767 semantics (2×beam candidate
+expansion, prefix/min-len constraints, espresso's ``--eos-factor`` gate
+speech_recognize.py + sequence_generator :404-410, length-normalized
+finalization :657-767) and fairseq/search.py BeamSearch:103 — re-designed as
+a single ``lax.scan`` over steps:
+
+  * all B utterances × K beams advance in one [B*K] decoder step;
+  * top-2K candidate selection per utterance is one topk over [B, K*V];
+  * beam reorder is a gather over the state pytree (adapters, decode/api.py);
+  * finished hypotheses insert into fixed [B, K] buffers by concat+topk
+    (no host control flow anywhere).
+
+LM fusion: ``lprobs += lm_weight * lm_lprobs`` (shallow fusion,
+sequence_generator.py:385-393); the LM state rides the same reorder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espresso_tpu.decode.api import make_adapter, repeat_encoder_out
+
+NEG_INF = -1.0e9
+
+
+class BeamSearchDecoder:
+    def __init__(
+        self,
+        model,
+        dictionary,
+        beam_size: int = 5,
+        max_len_a: float = 0.0,
+        max_len_b: int = 200,
+        min_len: int = 1,
+        len_penalty: float = 1.0,
+        eos_factor: Optional[float] = None,
+        temperature: float = 1.0,
+        lm=None,
+        lm_weight: float = 0.0,
+        lm_variables=None,
+    ):
+        self.model = model
+        self.adapter = make_adapter(model)
+        self.dict = dictionary
+        self.beam = beam_size
+        self.max_len_a = max_len_a
+        self.max_len_b = max_len_b
+        self.min_len = min_len
+        self.len_penalty = len_penalty
+        self.eos_factor = eos_factor
+        self.temperature = temperature
+        self.eos = dictionary.eos()
+        self.pad = dictionary.pad()
+        self.lm_adapter = make_adapter(lm) if lm is not None else None
+        self.lm_weight = lm_weight
+        self.lm_variables = lm_variables
+        self._jitted: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+    def _search_fn(self, max_len: int):
+        K = self.beam
+        eos, pad = self.eos, self.pad
+        min_len = self.min_len
+        lenpen = self.len_penalty
+        eos_factor = self.eos_factor
+        temp = self.temperature
+        adapter = self.adapter
+        lm_adapter = self.lm_adapter
+        lm_weight = self.lm_weight
+
+        def run(variables, lm_variables, src_frames, src_lengths):
+            B = src_frames.shape[0]
+            BK = B * K
+            enc = self.model.apply(
+                variables, src_frames, src_lengths, method="encode"
+            )
+            enc_rep = repeat_encoder_out(enc, K)
+            state = adapter.init_state(variables, enc_rep, BK, max_len)
+            lm_state = (
+                lm_adapter.init_state(lm_variables, None, BK, max_len)
+                if lm_adapter is not None
+                else None
+            )
+
+            tokens0 = jnp.full((B, K, max_len + 1), pad, jnp.int32)
+            tokens0 = tokens0.at[:, :, 0].set(eos)  # eos-led prefix
+            # only beam 0 live initially (all beams identical otherwise)
+            scores0 = jnp.where(
+                jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+            ) * jnp.ones((B, 1))
+            fin_tokens0 = jnp.full((B, K, max_len + 1), pad, jnp.int32)
+            fin_scores0 = jnp.full((B, K), NEG_INF)
+            fin_raw0 = jnp.full((B, K), NEG_INF)
+            fin_lens0 = jnp.zeros((B, K), jnp.int32)
+
+            def step_fn(carry, step):
+                (
+                    tokens,
+                    scores,
+                    state,
+                    lm_state,
+                    fin_tokens,
+                    fin_scores,
+                    fin_raw,
+                    fin_lens,
+                ) = carry
+                cur_tok = jax.lax.dynamic_slice_in_dim(
+                    tokens.reshape(BK, -1), step, 1, axis=1
+                )[:, 0]
+                logits, state, _ = adapter.step(
+                    variables, cur_tok, state, enc_rep, step
+                )
+                lprobs = jax.nn.log_softmax(
+                    logits.astype(jnp.float32) / temp, axis=-1
+                )
+                if lm_adapter is not None and lm_weight != 0.0:
+                    lm_logits, lm_state, _ = lm_adapter.step(
+                        lm_variables, cur_tok, lm_state
+                    )
+                    lm_lp = jax.nn.log_softmax(
+                        lm_logits.astype(jnp.float32), axis=-1
+                    )
+                    # pad LM vocab if smaller (word LMs handled elsewhere)
+                    lm_lp = lm_lp[:, : lprobs.shape[-1]]
+                    lprobs = lprobs + lm_weight * lm_lp
+
+                lprobs = lprobs.at[:, pad].set(NEG_INF)
+                # min-len: ban eos before min_len tokens emitted
+                lprobs = jnp.where(
+                    (step < min_len),
+                    lprobs.at[:, eos].set(NEG_INF),
+                    lprobs,
+                )
+                if eos_factor is not None:
+                    # eos allowed only if lprob_eos >= eos_factor * best_other
+                    # (both negative; reference speech_recognize eos_factor,
+                    # sequence_generator :404-410)
+                    eos_lp = lprobs[:, eos]
+                    others = lprobs.at[:, eos].set(NEG_INF)
+                    best_other = others.max(axis=-1)
+                    allow = eos_lp >= eos_factor * best_other
+                    lprobs = lprobs.at[:, eos].set(
+                        jnp.where(allow, eos_lp, NEG_INF)
+                    )
+
+                V = lprobs.shape[-1]
+                cand = scores.reshape(BK, 1) + lprobs  # [BK, V]
+                cand = cand.reshape(B, K * V)
+                top_scores, top_idx = jax.lax.top_k(cand, 2 * K)
+                beam_idx = top_idx // V  # [B, 2K]
+                tok_idx = (top_idx % V).astype(jnp.int32)
+
+                is_eos = tok_idx == eos
+                # --- finalize eos candidates ------------------------------
+                new_len = step + 1  # tokens emitted including eos
+                norm = top_scores / jnp.maximum(
+                    new_len.astype(jnp.float32) ** lenpen, 1e-6
+                )
+                eos_norm = jnp.where(is_eos, norm, NEG_INF)
+                # gather candidate token rows [B, 2K, L+1]
+                flat_beam = (
+                    jnp.arange(B)[:, None] * K + beam_idx
+                ).reshape(-1)
+                cand_tokens = jnp.take(
+                    tokens.reshape(BK, -1), flat_beam, axis=0
+                ).reshape(B, 2 * K, -1)
+                cand_tokens = jax.lax.dynamic_update_slice_in_dim(
+                    cand_tokens,
+                    tok_idx[:, :, None],
+                    step + 1,
+                    axis=2,
+                )
+                all_scores = jnp.concatenate([fin_scores, eos_norm], axis=1)
+                all_raw = jnp.concatenate(
+                    [fin_raw, jnp.where(is_eos, top_scores, NEG_INF)], axis=1
+                )
+                all_tokens = jnp.concatenate([fin_tokens, cand_tokens], axis=1)
+                all_lens = jnp.concatenate(
+                    [fin_lens, jnp.full((B, 2 * K), new_len, jnp.int32)],
+                    axis=1,
+                )
+                fin_scores, keep = jax.lax.top_k(all_scores, K)
+                fin_tokens = jnp.take_along_axis(
+                    all_tokens, keep[:, :, None], axis=1
+                )
+                fin_raw = jnp.take_along_axis(all_raw, keep, axis=1)
+                fin_lens = jnp.take_along_axis(all_lens, keep, axis=1)
+
+                # --- continue with best K non-eos candidates ---------------
+                cont_scores = jnp.where(is_eos, NEG_INF, top_scores)
+                new_scores, sel = jax.lax.top_k(cont_scores, K)  # [B, K]
+                sel_beam = jnp.take_along_axis(beam_idx, sel, axis=1)
+                sel_tok = jnp.take_along_axis(tok_idx, sel, axis=1)
+                flat_sel = (jnp.arange(B)[:, None] * K + sel_beam).reshape(-1)
+                tokens = jnp.take(
+                    tokens.reshape(BK, -1), flat_sel, axis=0
+                ).reshape(B, K, -1)
+                tokens = jax.lax.dynamic_update_slice_in_dim(
+                    tokens, sel_tok[:, :, None], step + 1, axis=2
+                )
+                state = adapter.reorder(state, flat_sel)
+                if lm_state is not None:
+                    lm_state = lm_adapter.reorder(lm_state, flat_sel)
+                return (
+                    tokens,
+                    new_scores,
+                    state,
+                    lm_state,
+                    fin_tokens,
+                    fin_scores,
+                    fin_raw,
+                    fin_lens,
+                ), None
+
+            carry = (
+                tokens0,
+                scores0,
+                state,
+                lm_state,
+                fin_tokens0,
+                fin_scores0,
+                fin_raw0,
+                fin_lens0,
+            )
+            carry, _ = jax.lax.scan(step_fn, carry, jnp.arange(max_len))
+            (
+                tokens,
+                scores,
+                _,
+                _,
+                fin_tokens,
+                fin_scores,
+                fin_raw,
+                fin_lens,
+            ) = carry
+            # fall back to unfinished best beam when nothing finalized
+            no_fin = fin_scores[:, 0] <= NEG_INF / 2
+            unfin_norm = scores / jnp.maximum(
+                jnp.float32(max_len) ** lenpen, 1e-6
+            )
+            fin_scores = jnp.where(no_fin[:, None], unfin_norm, fin_scores)
+            fin_tokens = jnp.where(
+                no_fin[:, None, None], tokens, fin_tokens
+            )
+            fin_lens = jnp.where(
+                no_fin[:, None], jnp.full((B, K), max_len + 1), fin_lens
+            )
+            return fin_tokens, fin_scores, fin_raw, fin_lens
+
+        return jax.jit(run)
+
+    # ------------------------------------------------------------------
+    def decode(self, variables, batch) -> List[List[Dict[str, Any]]]:
+        src_frames = jnp.asarray(batch["src_frames"])
+        src_lengths = jnp.asarray(batch["src_lengths"])
+        T = src_frames.shape[1]
+        max_len = int(self.max_len_a * T + self.max_len_b)
+        max_len = max(min(max_len, 1024), 2)
+        key = (src_frames.shape, max_len)
+        if key not in self._jitted:
+            self._jitted[key] = self._search_fn(max_len)
+        fin_tokens, fin_scores, fin_raw, fin_lens = self._jitted[key](
+            variables, self.lm_variables, src_frames, src_lengths
+        )
+        fin_tokens = np.asarray(fin_tokens)
+        fin_scores = np.asarray(fin_scores)
+        fin_lens = np.asarray(fin_lens)
+        results = []
+        for b in range(fin_tokens.shape[0]):
+            hypos = []
+            for k in range(fin_tokens.shape[1]):
+                L = int(fin_lens[b, k])
+                toks = fin_tokens[b, k, 1 : L + 1]  # strip leading eos
+                toks = toks[toks != self.pad]
+                if len(toks) and toks[-1] == self.eos:
+                    toks = toks[:-1]
+                hypos.append(
+                    {
+                        "tokens": toks.astype(np.int32),
+                        "score": float(fin_scores[b, k]),
+                    }
+                )
+            results.append(hypos)
+        return results
+
+    generate = decode

@@ -107,14 +107,26 @@ class MultiheadAttention(nn.Module):
             bd_full = jnp.einsum("bqhd,phd->bhqp", q_v, p)
             Tq, Tk = q.shape[1], k.shape[1]
             L = (bd_full.shape[-1] + 1) // 2
-            # table row for offset o = key - query is (L-1) - o
-            qi = jnp.arange(Tq)[:, None]
-            kj = jnp.arange(Tk)[None, :]
-            idx = jnp.clip((L - 1) - (kj - qi), 0, bd_full.shape[-1] - 1)
-            idx_b = jnp.broadcast_to(
-                idx[None, None], (bd_full.shape[0], bd_full.shape[1], Tq, Tk)
-            )
-            bd = jnp.take_along_axis(bd_full, idx_b, axis=-1)
+            if Tq == Tk == L:
+                # Transformer-XL relative shift: pad/reshape/slice instead of
+                # a gather (TPU gathers on this pattern are ~10x slower).
+                # table rows are offsets (L-1)..-(L-1); we need
+                # bd[i, j] = bd_full[i, (L-1) + i - j] = y[i, j - i + (L-1)]
+                # with y = flip(bd_full).
+                y = jnp.flip(bd_full, axis=-1)
+                B_, H_ = y.shape[0], y.shape[1]
+                y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, 1)))
+                y = y.reshape(B_, H_, 2 * L * L)[:, :, : (2 * L - 1) * L]
+                y = y.reshape(B_, H_, L, 2 * L - 1)
+                bd = y[:, :, :, L - 1 :]
+            else:
+                qi = jnp.arange(Tq)[:, None]
+                kj = jnp.arange(Tk)[None, :]
+                idx = jnp.clip((L - 1) - (kj - qi), 0, bd_full.shape[-1] - 1)
+                idx_b = jnp.broadcast_to(
+                    idx[None, None], (bd_full.shape[0], bd_full.shape[1], Tq, Tk)
+                )
+                bd = jnp.take_along_axis(bd_full, idx_b, axis=-1)
             scores = (ac + bd) * scale
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
