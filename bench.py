@@ -74,8 +74,18 @@ def main():
         def eos(self):
             return 2
 
+    from espresso_tpu.decode.transducer_beam import TransducerBeamSearchDecoder
+
     dic = AsrDictionary(enable_bos=True)
-    decoder = TransducerGreedyDecoder(model, dic, max_out_factor=0.35)
+    decoder = TransducerBeamSearchDecoder(
+        model,
+        dic,
+        beam_size=10,
+        expansion_beta=2,
+        expansion_gamma=2.3,
+        max_num_expansions_per_step=2,
+        max_out_factor=0.35,
+    )
     batch = {"src_frames": frames, "src_lengths": lengths}
 
     # warmup / compile
@@ -92,7 +102,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "conformer_transducer_greedy_decode_RTFx",
+                "metric": "conformer_transducer_beam10_decode_RTFx",
                 "value": round(rtfx, 2),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(rtfx / 500.0, 4),

