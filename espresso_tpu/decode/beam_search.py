@@ -57,7 +57,12 @@ class BeamSearchDecoder:
         self.temperature = temperature
         self.eos = dictionary.eos()
         self.pad = dictionary.pad()
-        self.lm_adapter = make_adapter(lm) if lm is not None else None
+        if lm is None:
+            self.lm_adapter = None
+        elif hasattr(lm, "init_state") and hasattr(lm, "reorder"):
+            self.lm_adapter = lm  # lookahead/multi-level LMs are adapters
+        else:
+            self.lm_adapter = make_adapter(lm)
         self.lm_weight = lm_weight
         self.lm_variables = lm_variables
         self._jitted: Dict[Tuple, Any] = {}
@@ -120,15 +125,23 @@ class BeamSearchDecoder:
                     logits.astype(jnp.float32) / temp, axis=-1
                 )
                 if lm_adapter is not None and lm_weight != 0.0:
-                    lm_logits, lm_state, _ = lm_adapter.step(
+                    lm_out, lm_state, _ = lm_adapter.step(
                         lm_variables, cur_tok, lm_state
                     )
-                    lm_lp = jax.nn.log_softmax(
-                        lm_logits.astype(jnp.float32), axis=-1
-                    )
-                    # pad LM vocab if smaller (word LMs handled elsewhere)
-                    lm_lp = lm_lp[:, : lprobs.shape[-1]]
-                    lprobs = lprobs + lm_weight * lm_lp
+                    if getattr(lm_adapter, "returns_log_probs", False):
+                        lm_lp = lm_out.astype(jnp.float32)
+                    else:
+                        lm_lp = jax.nn.log_softmax(
+                            lm_out.astype(jnp.float32), axis=-1
+                        )
+                    V_model = lprobs.shape[-1]
+                    if lm_lp.shape[-1] < V_model:
+                        lm_lp = jnp.pad(
+                            lm_lp,
+                            ((0, 0), (0, V_model - lm_lp.shape[-1])),
+                            constant_values=NEG_INF,
+                        )
+                    lprobs = lprobs + lm_weight * lm_lp[:, :V_model]
 
                 lprobs = lprobs.at[:, pad].set(NEG_INF)
                 # min-len: ban eos before min_len tokens emitted
