@@ -75,19 +75,74 @@ def load_model_for_decoding(cfg: EspressoConfig, task):
     return model, variables
 
 
-def build_lm(cfg: EspressoConfig, task):
-    """LM fusion wiring (reference speech_recognize.py:111-166)."""
-    if not cfg.generation.lm_path or cfg.generation.lm_weight == 0.0:
-        return None, None
-    import pickle
+def _load_lm_checkpoint(ckpt_dir: str):
+    """Load an LM trained by this framework: checkpoint dir with
+    model_cfg.json (written by the train CLI) and checkpoint_last/state."""
+    import orbax.checkpoint as ocp
 
     from espresso_tpu.models.lstm_lm import LSTMLanguageModel, LSTMLMConfig
 
-    with open(cfg.generation.lm_path, "rb") as f:
-        blob = pickle.load(f)
+    with open(os.path.join(ckpt_dir, "model_cfg.json")) as f:
+        blob = json.load(f)
     lm_cfg = LSTMLMConfig(**blob["config"])
     lm = LSTMLanguageModel(lm_cfg)
-    return lm, {"params": blob["params"]}
+    state_path = os.path.join(
+        os.path.abspath(ckpt_dir), "checkpoint_last", "state"
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(state_path)
+    return lm, {"params": state["params"]}, lm_cfg
+
+
+def build_lm(cfg: EspressoConfig, task):
+    """LM fusion wiring (reference speech_recognize.py:111-166):
+      * subword LM only  -> shallow fusion inside the beam search
+      * word LM only     -> TensorizedLookaheadLanguageModel
+      * subword + word   -> MultiLevelLanguageModel
+    """
+    gen = cfg.generation
+    sub_lm = sub_vars = word_lm = word_vars = None
+    word_dict = None
+    if gen.lm_path:
+        sub_lm, sub_vars, _ = _load_lm_checkpoint(gen.lm_path)
+    if gen.word_lm_path:
+        word_lm, word_vars, _ = _load_lm_checkpoint(gen.word_lm_path)
+        word_dict_path = os.path.join(gen.word_lm_path, "dict.txt")
+        from espresso_tpu.data.dictionary import AsrDictionary
+
+        word_dict = AsrDictionary.load(word_dict_path)
+    if word_lm is not None and sub_lm is not None:
+        from espresso_tpu.models.lookahead_lm import MultiLevelLanguageModel
+
+        lm = MultiLevelLanguageModel(
+            word_lm,
+            word_vars,
+            sub_lm,
+            sub_vars,
+            word_dict,
+            task.dictionary,
+            subwordlm_weight=gen.subwordlm_weight,
+            oov_penalty=gen.oov_penalty,
+            open_vocab=gen.open_vocab,
+        )
+        return lm, None
+    if word_lm is not None:
+        from espresso_tpu.models.lookahead_lm import (
+            TensorizedLookaheadLanguageModel,
+        )
+
+        lm = TensorizedLookaheadLanguageModel(
+            word_lm,
+            word_vars,
+            word_dict,
+            task.dictionary,
+            oov_penalty=gen.oov_penalty,
+            open_vocab=gen.open_vocab,
+        )
+        return lm, None
+    if sub_lm is not None:
+        return sub_lm, sub_vars
+    return None, None
 
 
 def main(argv=None) -> Dict[str, float]:

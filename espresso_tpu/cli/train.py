@@ -67,7 +67,8 @@ def validate(cfg, task, model, criterion, valid_step, state, valid_itr, scorer_c
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     for group in valid_itr:
-        for i in range(group["src_frames"].shape[0]):
+        n_micro = group["prev_output_tokens"].shape[0]
+        for i in range(n_micro):
             mb = {
                 k: v[i]
                 for k, v in group.items()
@@ -75,6 +76,8 @@ def validate(cfg, task, model, criterion, valid_step, state, valid_itr, scorer_c
             }
             stats = valid_step(state, {k: jnp.asarray(v) for k, v in mb.items()})
             agg.update({k: float(v) for k, v in stats.items()})
+            if decoder is None:
+                continue
             # WER decode (reference valid_step :598-607)
             hypos = decoder.decode(variables, mb)
             utt_ids = group["utt_ids"][i]
@@ -122,6 +125,20 @@ def main(argv=None) -> Dict[str, float]:
     model = task.build_model()
     criterion = build_criterion(cfg.criterion, task)
     logger.info("model: %s | criterion: %s", type(model).__name__, cfg.criterion.name)
+    # persist the resolved model config for decode-time reconstruction
+    import dataclasses as _dc
+    import json as _json
+    import os as _os
+
+    _os.makedirs(cfg.checkpoint.save_dir, exist_ok=True)
+    from espresso_tpu.config import config_to_dict as _ctd
+
+    with open(_os.path.join(cfg.checkpoint.save_dir, "model_cfg.json"), "w") as f:
+        _json.dump(
+            {"model_name": type(model).__name__, "config": _ctd(task.model_cfg)},
+            f,
+            indent=2,
+        )
 
     optimizer, schedule = build_optimizer(cfg)
     update_freq = cfg.optimization.update_freq[0]
@@ -148,6 +165,7 @@ def main(argv=None) -> Dict[str, float]:
         optimizer,
         {k: jnp.asarray(v) for k, v in sample.items() if isinstance(v, np.ndarray)},
         rng,
+        ema=cfg.optimization.ema_decay > 0,
     )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info("num params: %s", f"{n_params:,}")
@@ -188,9 +206,24 @@ def main(argv=None) -> Dict[str, float]:
         ckpt_mgr.best = host_state.get("best")
 
     train_step = jax.jit(
-        make_train_step(model, criterion, optimizer, cfg), donate_argnums=(0,)
+        make_train_step(
+            model, criterion, optimizer, cfg, ema_decay=cfg.optimization.ema_decay
+        ),
+        donate_argnums=(0,),
     )
     valid_step = jax.jit(make_valid_step(model, criterion, cfg))
+    from espresso_tpu.tools.scheduled_sampling import (
+        ScheduledSamplingRateScheduler,
+    )
+
+    ss_scheduler = (
+        ScheduledSamplingRateScheduler(
+            cfg.task.scheduled_sampling_probs,
+            cfg.task.start_scheduled_sampling_epoch,
+        )
+        if cfg.task.scheduled_sampling
+        else None
+    )
 
     bsharding = batch_sharding(mesh, has_microbatch_axis=True)
     progress = ProgressLogger(
@@ -210,10 +243,16 @@ def main(argv=None) -> Dict[str, float]:
         epoch_itr = train_itr.next_epoch_itr()
         agg = MetricsAggregator()
         t0 = time.perf_counter()
+        ss_prob = (
+            jnp.float32(ss_scheduler.step(epoch)) if ss_scheduler else None
+        )
         for group in epoch_itr:
             dev_batch = put_batch(group, bsharding)
             rng, step_rng = jax.random.split(rng)
-            state, metrics = train_step(state, dev_batch, step_rng)
+            if ss_prob is not None:
+                state, metrics = train_step(state, dev_batch, step_rng, ss_prob)
+            else:
+                state, metrics = train_step(state, dev_batch, step_rng)
             num_updates += 1
             agg.update({k: float(v) for k, v in metrics.items()})
             if num_updates % cfg.common.log_interval == 0:

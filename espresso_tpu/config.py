@@ -91,6 +91,7 @@ class OptimizationConfig:
     update_freq: List[int] = field(default_factory=lambda: [1])
     sentence_avg: bool = False
     stop_min_lr: float = -1.0
+    ema_decay: float = 0.0  # exponential moving average of params (0 = off)
 
 
 @dataclass
@@ -173,6 +174,10 @@ class TaskSection:
     name: str = "speech_recognition_espresso"
     # generic task options live in DatasetConfig; extra task-specific knobs:
     autoregressive: bool = True
+    # scheduled sampling (espresso/tools/scheduled_sampling_rate_scheduler.py)
+    scheduled_sampling: bool = False
+    scheduled_sampling_probs: List[float] = field(default_factory=lambda: [1.0])
+    start_scheduled_sampling_epoch: int = 1
     # hybrid task (speech_recognition_hybrid.py)
     num_targets: int = 0
     initial_state_prior_path: Optional[str] = None

@@ -35,11 +35,26 @@ from espresso_tpu.registry import CRITERIONS
 
 
 def _apply_model(model, variables, batch, rngs, train, ss_prob=1.0):
-    """Run the model's training forward, handling batch_stats mutability."""
+    """Run the model's training forward, handling batch_stats mutability.
+    Batches without ``src_frames`` are language-model batches (LM task)."""
     kwargs = dict(train=train)
-    if ss_prob < 1.0:
+    static_off = isinstance(ss_prob, (int, float)) and ss_prob >= 1.0
+    if not static_off:
         kwargs["ss_prob"] = ss_prob
     mutable = ["batch_stats"] if (train and "batch_stats" in variables) else False
+    if "src_frames" not in batch:
+        kwargs.pop("ss_prob", None)
+        out = model.apply(
+            variables,
+            batch["prev_output_tokens"],
+            rngs=rngs,
+            mutable=mutable,
+            **kwargs,
+        )
+        if mutable:
+            logits, updates = out
+            return logits, None, updates
+        return out, None, {}
     out = model.apply(
         variables,
         batch["src_frames"],

@@ -113,7 +113,11 @@ class _DecoderStep(nn.Module):
 
         has_encoder = self.encoder_output_units > 0
 
-        if ss_prob < 1.0:
+        # ss_prob may be a static Python float (1.0 = teacher forcing, branch
+        # compiled out) or a traced scalar (scheduled sampling without
+        # per-epoch recompiles)
+        ss_active = not isinstance(ss_prob, (int, float)) or ss_prob < 1.0
+        if ss_active:
             token = jnp.where(coin < ss_prob, token, prev_pred)
 
         embed = nn.Embed(
@@ -179,7 +183,7 @@ class _DecoderStep(nn.Module):
                 logits = nn.Dense(cfg.vocab_size, name="fc_out")(out)
         else:
             logits = None
-        if ss_prob < 1.0 and logits is not None:
+        if ss_active and logits is not None:
             new_pred = jnp.argmax(logits, axis=-1).astype(token.dtype)
         else:
             new_pred = token
@@ -253,7 +257,8 @@ class SpeechLSTMModel(nn.Module):
         B, U = prev_output_tokens.shape
         carry = self.init_decoder_carry(B)
         tokens_tm = jnp.moveaxis(prev_output_tokens, 1, 0)  # [U, B]
-        if ss_prob < 1.0 and train:
+        ss_active = not isinstance(ss_prob, (int, float)) or ss_prob < 1.0
+        if ss_active and train:
             coin = jax.random.uniform(self.make_rng("sampling"), (U, B))
         else:
             coin = jnp.zeros((U, B))

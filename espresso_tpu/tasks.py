@@ -229,5 +229,39 @@ class SpeechRecognitionEspressoTask:
         )
 
 
+@TASKS.register("language_modeling_for_asr")
+class LanguageModelingForASRTask(SpeechRecognitionEspressoTask):
+    """LM task (espresso/tasks/language_modeling_for_asr.py): trains
+    subword/word LMs used for fusion. Data = {split}.txt, one sentence per
+    line, encoded with the AsrDictionary (``--dict``)."""
+
+    def __init__(self, cfg: EspressoConfig):
+        self.cfg = cfg
+        dict_path = cfg.dataset.dict or os.path.join(cfg.dataset.data, "dict.txt")
+        self.dictionary = AsrDictionary.load(
+            dict_path, non_lang_syms=cfg.dataset.non_lang_syms
+        )
+        self.tokenizer = None  # LM text is pre-tokenized (reference recipes)
+        self.datasets = {}
+        self.feat_dim = 0
+        self.autoregressive = True
+
+    def load_dataset(self, split: str):
+        if split in self.datasets:
+            return self.datasets[split]
+        from espresso_tpu.data.lm_dataset import LMTextDataset
+
+        path = os.path.join(self.cfg.dataset.data, f"{split}.txt")
+        ds = LMTextDataset(path, self.dictionary, tokenizer=self.tokenizer)
+        self.datasets[split] = ds
+        return ds
+
+    def build_valid_decoder(self, model):
+        return None  # perplexity only
+
+    def build_generator(self, model, gen_cfg=None, lm=None, lm_weight=0.0):
+        raise NotImplementedError("use eval_lm for language models")
+
+
 def setup_task(cfg: EspressoConfig):
     return TASKS.build(cfg.task.name, cfg)

@@ -114,28 +114,33 @@ def make_train_step(
     clip_norm = cfg.optimization.clip_norm
     ss_prob_fn = getattr(criterion, "ss_prob_fn", None)
 
-    def loss_for_microbatch(params, batch_stats, microbatch, rng):
+    def loss_for_microbatch(params, batch_stats, microbatch, rng, ss_prob):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         mb = dict(microbatch)
-        mb["src_frames"] = mb["src_frames"].astype(compute_dtype)
+        if "src_frames" in mb:
+            mb["src_frames"] = mb["src_frames"].astype(compute_dtype)
         rngs = {"dropout": rng, "sampling": jax.random.fold_in(rng, 1)}
         loss, sample_size, logging, updates = criterion(
-            model, variables, mb, rngs=rngs, train=True
+            model, variables, mb, rngs=rngs, train=True, ss_prob=ss_prob
         )
         new_stats = updates.get("batch_stats", batch_stats)
         return loss, (sample_size, logging, new_stats)
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
-        n_micro = batch["src_frames"].shape[0]
+    use_ss = getattr(cfg.task, "scheduled_sampling", False)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng, ss_prob=None):
+        n_micro = batch["prev_output_tokens"].shape[0]
+        if ss_prob is None or not use_ss:
+            ss_prob = 1.0
 
         def microstep(carry, inputs):
             grads_acc, stats, loss_acc, size_acc, log_acc = carry
             mb, mb_rng = inputs
             (loss, (sample_size, logging, new_stats)), grads = (
                 jax.value_and_grad(loss_for_microbatch, has_aux=True)(
-                    state.params, stats, mb, mb_rng
+                    state.params, stats, mb, mb_rng, ss_prob
                 )
             )
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
@@ -232,7 +237,8 @@ def make_valid_step(model, criterion, cfg: EspressoConfig):
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         mb = dict(batch)
-        mb["src_frames"] = mb["src_frames"].astype(compute_dtype)
+        if "src_frames" in mb:
+            mb["src_frames"] = mb["src_frames"].astype(compute_dtype)
         loss, sample_size, logging, _ = criterion(
             model, variables, mb, rngs=None, train=False
         )
@@ -248,12 +254,16 @@ def create_train_state(
     rng,
     ema: bool = False,
 ) -> TrainState:
-    variables = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 7)},
-        sample_batch["src_frames"],
-        sample_batch["src_lengths"],
-        sample_batch["prev_output_tokens"],
-    )
+    rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 7)}
+    if "src_frames" in sample_batch:
+        variables = model.init(
+            rngs,
+            sample_batch["src_frames"],
+            sample_batch["src_lengths"],
+            sample_batch["prev_output_tokens"],
+        )
+    else:
+        variables = model.init(rngs, sample_batch["prev_output_tokens"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -261,6 +271,6 @@ def create_train_state(
         params=params,
         batch_stats=batch_stats,
         opt_state=optimizer.init(params),
-        ema_params=jax.tree_util.tree_map(lambda x: x, params) if ema else None,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
         overflow_count=jnp.zeros((), jnp.int32),
     )
