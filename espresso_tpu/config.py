@@ -200,6 +200,8 @@ class CriterionSection:
     zero_infinity: bool = True
     # transducer
     include_eos_in_transducer_loss: bool = False
+    # lf_mmi (chain): denominator graph in ops/chain.py npz format
+    denominator_graph_path: Optional[str] = None
 
 
 @dataclass

@@ -202,3 +202,84 @@ class TransducerCriterion:
 
 def build_criterion(cfg: CriterionSection, task):
     return CRITERIONS.build(cfg.name, cfg, task)
+
+
+@CRITERIONS.register("subsampled_cross_entropy_with_accuracy")
+class SubsampledCrossEntropyWithAccuracy:
+    """Hybrid frame-level CE + frame accuracy
+    (espresso/criterions/subsampled_cross_entropy_with_accuracy.py).
+
+    Model logits [B, T', num_targets] are aligned to the label window: in
+    chunked training the label chunk sits ``chunk_left_context`` frames into
+    the (context-padded) input, so logits are cropped to
+    [left : left + W] before the CE; whole-utterance mode crops/subsamples to
+    the target length. Targets use -1 padding (xent_dataset.PAD_TARGET).
+    """
+
+    logging_keys = ("loss", "ntokens", "num_correct")
+
+    def __init__(self, cfg: CriterionSection, task):
+        self.cfg = cfg
+        self.task = task
+        self.left = getattr(task.cfg.task, "chunk_left_context", 0)
+
+    def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+        logits, enc, updates = _apply_model(model, variables, batch, rngs, train)
+        target = batch["target"]  # [B, W] with -1 padding
+        B, W = target.shape
+        Tp = logits.shape[1]
+        if Tp >= self.left + W:
+            logits = jax.lax.dynamic_slice_in_dim(logits, self.left, W, axis=1)
+        elif Tp != W:
+            # model subsampled: pick every r-th frame of the targets instead
+            r = -(-W // Tp)
+            target = target[:, ::r][:, :Tp]
+            W = Tp
+        mask = (target >= 0) & (batch["weight"][:, None] > 0)
+        safe_target = jnp.maximum(target, 0)
+        lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(lprobs, safe_target[..., None], axis=-1)[..., 0]
+        loss = jnp.where(mask, nll, 0.0).sum()
+        pred = jnp.argmax(lprobs, axis=-1)
+        correct = jnp.where(mask, (pred == safe_target).astype(jnp.float32), 0.0).sum()
+        ntokens = mask.sum()
+        logging = {"loss": loss, "ntokens": ntokens, "num_correct": correct}
+        return loss, jnp.maximum(ntokens, 1), logging, updates
+
+
+@CRITERIONS.register("lf_mmi_loss")
+class LFMMICriterion:
+    """Lattice-free MMI (espresso/criterions/lf_mmi_loss.py:42-137, PyChain
+    replaced by ops/chain.py's on-device forward-backward). Requires
+    ``criterion.denominator_graph_path`` (npz arc-list format; convert Kaldi
+    den.fst with DenominatorGraph.from_fst_text). Numerator = frame
+    alignments from the manifest (E2E numerator FSTs can be lowered to
+    alignments offline)."""
+
+    logging_keys = ("loss", "ntokens")
+
+    def __init__(self, cfg: CriterionSection, task):
+        from espresso_tpu.ops.chain import DenominatorGraph
+
+        self.cfg = cfg
+        self.task = task
+        assert cfg.denominator_graph_path, (
+            "criterion.denominator_graph_path required for lf_mmi_loss"
+        )
+        self.graph = DenominatorGraph.load(cfg.denominator_graph_path)
+        self.left = getattr(task.cfg.task, "chunk_left_context", 0)
+
+    def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+        from espresso_tpu.ops.chain import chain_loss
+
+        logits, enc, updates = _apply_model(model, variables, batch, rngs, train)
+        target = batch["target"]
+        B, W = target.shape
+        if logits.shape[1] >= self.left + W:
+            logits = jax.lax.dynamic_slice_in_dim(logits, self.left, W, axis=1)
+        lengths = jnp.minimum(batch["tgt_lengths"], W)
+        losses = chain_loss(logits, target, lengths, self.graph)
+        loss = (losses * batch["weight"]).sum()
+        ntokens = (lengths * batch["weight"]).sum()
+        logging = {"loss": loss, "ntokens": ntokens}
+        return loss, jnp.maximum(ntokens, 1), logging, updates

@@ -188,6 +188,29 @@ def read_vec_int(rxfilename: str) -> np.ndarray:
         f.close()
 
 
+def write_vec_int(f_or_wx, vec: np.ndarray, key: str = "") -> None:
+    """Write a Kaldi int32 vector (alignment format)."""
+    own = False
+    if isinstance(f_or_wx, str):
+        f = open_or_fd(f_or_wx, "wb")
+        own = True
+    else:
+        f = f_or_wx
+    try:
+        if key:
+            f.write((key + " ").encode())
+        f.write(b"\x00B")
+        vec = np.asarray(vec, dtype=np.int32)
+        _write_int32(f, vec.shape[0])
+        out = np.empty((vec.shape[0], 5), dtype=np.uint8)
+        out[:, 0] = 4
+        out[:, 1:] = vec.reshape(-1, 1).view(np.uint8).reshape(-1, 4)
+        f.write(out.tobytes())
+    finally:
+        if own:
+            f.close()
+
+
 def write_vec_flt(f_or_wx, vec: np.ndarray, key: str = "") -> None:
     own = False
     if isinstance(f_or_wx, str):

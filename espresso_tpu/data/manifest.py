@@ -35,6 +35,10 @@ class ManifestEntry:
     kind: str  # "feat" | "wave" | "command"
     text: Optional[str]
     num_frames: Optional[int]
+    # hybrid extras: alignment / numerator_fst / token_text rxfilenames
+    alignment: Optional[str] = None
+    numerator_fst: Optional[str] = None
+    token_text: Optional[str] = None
 
 
 def load_manifest(
@@ -70,6 +74,9 @@ def load_manifest(
                         if "utt2num_frames" in val
                         else None
                     ),
+                    alignment=val.get("alignment"),
+                    numerator_fst=val.get("numerator_fst"),
+                    token_text=val.get("token_text"),
                 )
             )
         if not combine:

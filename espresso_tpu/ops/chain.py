@@ -1,0 +1,261 @@
+"""LF-MMI (chain) loss: denominator-graph forward-backward on device.
+
+TPU-native replacement for PyChain (the OpenFst-based C++/CUDA extension the
+reference calls at espresso/criterions/lf_mmi_loss.py:75-110): the
+denominator HMM is a sparse arc list (from_state, to_state, pdf, log_weight)
+over which the forward pass runs as a ``lax.scan`` over time with
+segment-logsumexp per step — every arc is processed in parallel on the VPU,
+O(T) sequential depth. The numerator is the frame-level alignment path
+(E2E numerator FSTs can be lowered to the same arc format offline).
+
+Loss: -(num_score - den_logZ); gradient wrt log-probs is the occupancy
+difference (numerator one-hot minus denominator posterior), provided
+analytically via ``jax.custom_vjp`` so the scan is never differentiated
+through.
+
+Graph file format (.npz): from_state, to_state, pdf, weight [A] arrays +
+final_weights [S]; start state is 0. A converter from Kaldi/OpenFst text
+format is ``DenominatorGraph.from_fst_text``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1.0e30
+
+
+@dataclass
+class DenominatorGraph:
+    from_state: np.ndarray  # [A]
+    to_state: np.ndarray  # [A]
+    pdf: np.ndarray  # [A] pdf-id emitted on the arc
+    weight: np.ndarray  # [A] log transition weight
+    final_weights: np.ndarray  # [S] log final weights (NEG_INF = non-final)
+    num_states: int
+
+    @staticmethod
+    def load(path: str) -> "DenominatorGraph":
+        z = np.load(path)
+        return DenominatorGraph(
+            from_state=z["from_state"].astype(np.int32),
+            to_state=z["to_state"].astype(np.int32),
+            pdf=z["pdf"].astype(np.int32),
+            weight=z["weight"].astype(np.float32),
+            final_weights=z["final_weights"].astype(np.float32),
+            num_states=len(z["final_weights"]),
+        )
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            from_state=self.from_state,
+            to_state=self.to_state,
+            pdf=self.pdf,
+            weight=self.weight,
+            final_weights=self.final_weights,
+        )
+
+    @staticmethod
+    def from_fst_text(text: str, num_pdfs: Optional[int] = None) -> "DenominatorGraph":
+        """Parse OpenFst text format: lines ``from to ilabel[ olabel[ weight]]``
+        (acceptor; ilabel = pdf-id + 1, 0 = eps not supported) and final lines
+        ``state [weight]``. Weights are -log (tropical) in Kaldi convention ->
+        stored as log-probs (negated)."""
+        arcs = []
+        finals = {}
+        max_state = 0
+        for line in text.strip().splitlines():
+            parts = line.split()
+            if len(parts) >= 3 and all(
+                p.replace(".", "").replace("-", "").isdigit() for p in parts[:3]
+            ):
+                if len(parts) in (4, 5):
+                    frm, to, ilabel = int(parts[0]), int(parts[1]), int(parts[2])
+                    w = -float(parts[4]) if len(parts) == 5 else 0.0
+                    arcs.append((frm, to, ilabel - 1, w))
+                    max_state = max(max_state, frm, to)
+                    continue
+                if len(parts) == 3:
+                    frm, to, ilabel = int(parts[0]), int(parts[1]), int(parts[2])
+                    arcs.append((frm, to, ilabel - 1, 0.0))
+                    max_state = max(max_state, frm, to)
+                    continue
+            if len(parts) in (1, 2):
+                state = int(parts[0])
+                w = -float(parts[1]) if len(parts) == 2 else 0.0
+                finals[state] = w
+                max_state = max(max_state, state)
+        S = max_state + 1
+        final_weights = np.full(S, NEG_INF, np.float32)
+        for s, w in finals.items():
+            final_weights[s] = w
+        arr = np.asarray(arcs, dtype=np.float64)
+        return DenominatorGraph(
+            from_state=arr[:, 0].astype(np.int32),
+            to_state=arr[:, 1].astype(np.int32),
+            pdf=arr[:, 2].astype(np.int32),
+            weight=arr[:, 3].astype(np.float32),
+            final_weights=final_weights,
+            num_states=S,
+        )
+
+
+def _segment_logsumexp(values: jnp.ndarray, segments: jnp.ndarray, num: int):
+    """Logsumexp of ``values`` grouped by ``segments`` along the last axis.
+    values: [B, A]; segments: [A] -> [B, num]."""
+    m = jax.ops.segment_max(
+        values.T, segments, num_segments=num, indices_are_sorted=False
+    ).T  # [B, num]
+    m_safe = jnp.maximum(m, NEG_INF)
+    gathered = m_safe[:, segments]  # [B, A]
+    s = jax.ops.segment_sum(
+        jnp.exp(values - gathered).T, segments, num_segments=num
+    ).T
+    return jnp.where(m > NEG_INF / 2, m_safe + jnp.log(jnp.maximum(s, 1e-30)), NEG_INF)
+
+
+def _den_forward(lp, lengths, from_s, to_s, pdf, weight, finals, S):
+    """alpha scan; returns (logZ [B], alphas [T, B, S])."""
+    B, T, V = lp.shape
+    alpha0 = jnp.full((B, S), NEG_INF).at[:, 0].set(0.0)
+
+    def step(alpha, inputs):
+        t, lp_t = inputs
+        arc_scores = alpha[:, from_s] + weight[None, :] + lp_t[:, pdf]  # [B, A]
+        new_alpha = _segment_logsumexp(arc_scores, to_s, S)
+        active = (t < lengths)[:, None]
+        new_alpha = jnp.where(active, new_alpha, alpha)
+        return new_alpha, alpha
+
+    lp_tfirst = jnp.moveaxis(lp, 1, 0)
+    alpha_T, alphas = jax.lax.scan(step, alpha0, (jnp.arange(T), lp_tfirst))
+    logZ = jax.nn.logsumexp(alpha_T + finals[None, :], axis=-1)
+    alphas = jnp.concatenate([alphas, alpha_T[None]], axis=0)  # [T+1, B, S]
+    return logZ, alphas
+
+
+def _den_backward(lp, lengths, from_s, to_s, pdf, weight, finals, S):
+    """beta scan (reverse); returns betas [T+1, B, S] where betas[t] is the
+    completion score from state at time t."""
+    B, T, V = lp.shape
+
+    def step(beta_next, inputs):
+        t, lp_t = inputs
+        arc_scores = beta_next[:, to_s] + weight[None, :] + lp_t[:, pdf]
+        beta_t = _segment_logsumexp(arc_scores, from_s, S)
+        # at t == length: beta = final weights
+        at_end = (t == lengths)[:, None]
+        beta_t = jnp.where(at_end, finals[None, :], beta_t)
+        inactive = (t > lengths)[:, None]
+        beta_t = jnp.where(inactive, beta_next, beta_t)
+        return beta_t, beta_t
+
+    lp_tfirst = jnp.moveaxis(lp, 1, 0)
+    init = jnp.broadcast_to(finals[None, :], (B, S))
+    ts = jnp.arange(T - 1, -1, -1)
+    _, betas_rev = jax.lax.scan(
+        step, init, (ts, jnp.flip(lp_tfirst, 0))
+    )
+    betas = jnp.flip(betas_rev, axis=0)  # [T, B, S]; betas[t] pairs alpha[t]
+    return betas
+
+
+@jax.custom_vjp
+def chain_loss_from_log_probs(lp, targets, lengths, graph_arrays):
+    """Per-example -(num - den). lp: [B, T, V] log-probs; targets: [B, T]
+    alignment pdf-ids (-1 pad); graph_arrays: tuple of device arrays."""
+    from_s, to_s, pdf, weight, finals = graph_arrays
+    S = finals.shape[0]
+    B, T, V = lp.shape
+    logZ, _ = _den_forward(lp, lengths, from_s, to_s, pdf, weight, finals, S)
+    t_idx = jnp.arange(T)[None, :]
+    valid = (t_idx < lengths[:, None]) & (targets >= 0)
+    safe_t = jnp.maximum(targets, 0)
+    num = jnp.where(
+        valid, jnp.take_along_axis(lp, safe_t[..., None], axis=-1)[..., 0], 0.0
+    ).sum(axis=1)
+    return -(num - logZ)
+
+
+def _chain_fwd(lp, targets, lengths, graph_arrays):
+    return chain_loss_from_log_probs(lp, targets, lengths, graph_arrays), (
+        lp,
+        targets,
+        lengths,
+        graph_arrays,
+    )
+
+
+def _chain_bwd(res, g):
+    lp, targets, lengths, graph_arrays = res
+    from_s, to_s, pdf, weight, finals = graph_arrays
+    S = finals.shape[0]
+    B, T, V = lp.shape
+    logZ, alphas = _den_forward(lp, lengths, from_s, to_s, pdf, weight, finals, S)
+    betas = _den_backward(lp, lengths, from_s, to_s, pdf, weight, finals, S)
+
+    # denominator occupancy per (t, pdf): sum over arcs of
+    # exp(alpha[t, from] + w + lp[t, pdf] + beta[t+1->](to) - logZ)
+    def occ_step(carry, inputs):
+        alpha_t, beta_t1, lp_t, t = inputs
+        arc = (
+            alpha_t[:, from_s]
+            + weight[None, :]
+            + lp_t[:, pdf]
+            + beta_t1[:, to_s]
+            - logZ[:, None]
+        )
+        occ = jax.ops.segment_sum(jnp.exp(arc).T, pdf, num_segments=V).T  # [B, V]
+        active = (t < lengths)[:, None]
+        return carry, jnp.where(active, occ, 0.0)
+
+    lp_tfirst = jnp.moveaxis(lp, 1, 0)
+    # betas[t] is completion from time t AFTER consuming arc at t -> we need
+    # beta at t+1 paired with alpha at t: betas computed so betas[t] uses
+    # lp[t]; completion-from-(t+1) = betas[t+1] with betas[T] := finals
+    beta_next = jnp.concatenate(
+        [
+            betas[1:],
+            jnp.broadcast_to(finals[None, None, :], (1, B, S)),
+        ],
+        axis=0,
+    )
+    _, occs = jax.lax.scan(
+        occ_step,
+        None,
+        (alphas[:-1], beta_next, lp_tfirst, jnp.arange(T)),
+    )
+    den_occ = jnp.moveaxis(occs, 0, 1)  # [B, T, V]
+
+    t_idx = jnp.arange(T)[None, :]
+    valid = (t_idx < lengths[:, None]) & (targets >= 0)
+    num_occ = jax.nn.one_hot(jnp.maximum(targets, 0), V) * valid[..., None]
+    grad_lp = -(num_occ - den_occ) * g[:, None, None]
+    return grad_lp, None, None, None
+
+
+chain_loss_from_log_probs.defvjp(_chain_fwd, _chain_bwd)
+
+
+def chain_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    lengths: jnp.ndarray,
+    graph: DenominatorGraph,
+) -> jnp.ndarray:
+    """LF-MMI per-example loss from logits [B, T, V]."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    graph_arrays = (
+        jnp.asarray(graph.from_state),
+        jnp.asarray(graph.to_state),
+        jnp.asarray(graph.pdf),
+        jnp.asarray(graph.weight),
+        jnp.asarray(graph.final_weights),
+    )
+    return chain_loss_from_log_probs(lp, targets, lengths, graph_arrays)

@@ -152,9 +152,13 @@ class SpeechRecognitionEspressoTask:
                 setattr(target, key, value)
 
         merge(model_cfg, model_section)
-        model_cfg.vocab_size = len(self.dictionary)
+        model_cfg.vocab_size = (
+            len(self.dictionary)
+            if self.dictionary is not None
+            else self.cfg.task.num_targets
+        )
         model_cfg.feat_dim = self.feat_dim
-        if hasattr(model_cfg, "pad_index"):
+        if hasattr(model_cfg, "pad_index") and self.dictionary is not None:
             model_cfg.pad_index = self.dictionary.pad()
         model_cls = MODELS.get(base_name)
         self.model_cfg = model_cfg
@@ -227,6 +231,86 @@ class SpeechRecognitionEspressoTask:
             lm=lm,
             lm_weight=lm_weight,
         )
+
+
+@TASKS.register("speech_recognition_hybrid")
+class SpeechRecognitionHybridTask(SpeechRecognitionEspressoTask):
+    """Hybrid HMM-DNN task (espresso/tasks/speech_recognition_hybrid.py:363):
+    targets are pdf-id alignments (cross-entropy) or numerator FSTs (LF-MMI);
+    supports chunk-wise training with context frames and label delay, and
+    HMM-state prior estimation/update (:101-122, :594)."""
+
+    def __init__(self, cfg: EspressoConfig):
+        self.cfg = cfg
+        self.num_targets = cfg.task.num_targets
+        assert self.num_targets > 0, "task.num_targets required for hybrid"
+        self.datasets = {}
+        self.feat_dim = cfg.dataset.feat_dim
+        self.autoregressive = False
+        self.dictionary = None
+        self.state_prior = None
+        if cfg.task.initial_state_prior_path:
+            self.state_prior = np.load(cfg.task.initial_state_prior_path)
+
+    def load_dataset(self, split: str):
+        if split in self.datasets:
+            return self.datasets[split]
+        from espresso_tpu.data.xent_dataset import AsrXentDataset, XentEntry
+
+        entries = load_manifest(self.cfg.dataset.data, split)
+        xent_entries = [
+            XentEntry(
+                utt_id=e.utt_id,
+                feat=e.audio,
+                alignment=e.alignment,
+                num_frames=e.num_frames,
+            )
+            for e in entries
+        ]
+        tcfg = self.cfg.task
+        ds = AsrXentDataset(
+            xent_entries,
+            feat_dim=self.cfg.dataset.feat_dim,
+            chunk_width=tcfg.chunk_width,
+            chunk_left_context=tcfg.chunk_left_context,
+            chunk_right_context=tcfg.chunk_right_context,
+            label_delay=tcfg.label_delay,
+            seed=self.cfg.common.seed,
+        )
+        probe = kaldi_io.read_mat(xent_entries[0].feat)
+        if probe.shape[1] != self.feat_dim:
+            self.feat_dim = probe.shape[1]
+        self.datasets[split] = ds
+        return ds
+
+    def build_valid_decoder(self, model):
+        return None  # hybrid WER comes from Kaldi lattice decoding
+
+    def update_state_prior(self, avg_posteriors: np.ndarray):
+        """Running smoothing of the state prior from model posteriors
+        (reference update_state_prior :594)."""
+        lam = self.cfg.task.state_prior_update_smoothing
+        if self.state_prior is None:
+            self.state_prior = avg_posteriors
+        else:
+            self.state_prior = (1 - lam) * self.state_prior + lam * avg_posteriors
+
+    @property
+    def dictionary_or_none(self):
+        return None
+
+
+class _PdfDictionary:
+    """Minimal dictionary facade for hybrid tasks (pdf-id targets)."""
+
+    def __init__(self, num_targets: int):
+        self.num_targets = num_targets
+
+    def pad(self) -> int:
+        return -1
+
+    def __len__(self) -> int:
+        return self.num_targets
 
 
 @TASKS.register("language_modeling_for_asr")

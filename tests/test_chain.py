@@ -1,0 +1,139 @@
+"""LF-MMI chain loss tests: brute-force forward + finite-difference gradient,
+plus end-to-end chunked chain training."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from espresso_tpu.ops.chain import DenominatorGraph, chain_loss
+
+FST_TEXT = """
+0 1 1 1 0.5
+0 2 2 2 1.0
+1 1 3 3 0.2
+1 2 2 2 0.9
+2 0 4 4 0.1
+2 2 1 1 0.7
+1 0.3
+2 0.0
+"""
+
+
+def _graph():
+    return DenominatorGraph.from_fst_text(FST_TEXT)
+
+
+def _brute_den(g, lpb, L):
+    arcs = list(zip(g.from_state, g.to_state, g.pdf, g.weight))
+    alpha = {0: 0.0}
+    for t in range(L):
+        new = {}
+        for f, to, p, w in arcs:
+            if f in alpha:
+                sc = alpha[f] + w + lpb[t, p]
+                new[to] = np.logaddexp(new[to], sc) if to in new else sc
+        alpha = new
+    tot = -np.inf
+    for s, a in alpha.items():
+        if g.final_weights[s] > -1e29:
+            tot = np.logaddexp(tot, a + g.final_weights[s])
+    return tot
+
+
+def test_fst_text_parsing():
+    g = _graph()
+    assert g.num_states == 3
+    assert len(g.from_state) == 6
+    assert g.final_weights[0] < -1e29  # state 0 non-final
+    assert abs(g.final_weights[1] + 0.3) < 1e-6
+
+
+def test_chain_loss_matches_bruteforce():
+    g = _graph()
+    rng = np.random.default_rng(0)
+    B, T, V = 2, 5, 4
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    lengths = np.array([5, 3])
+    targets = rng.integers(0, V, (B, T)).astype(np.int32)
+    targets[1, 3:] = -1
+    loss = np.asarray(
+        chain_loss(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(lengths), g
+        )
+    )
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1), np.float64)
+    for b, L in enumerate(lengths):
+        den = _brute_den(g, lp[b], L)
+        num = sum(lp[b, t, targets[b, t]] for t in range(L) if targets[b, t] >= 0)
+        assert abs(loss[b] - (-(num - den))) < 1e-3
+
+
+def test_chain_loss_gradcheck():
+    g = _graph()
+    rng = np.random.default_rng(1)
+    B, T, V = 2, 4, 4
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    lengths = np.array([4, 3])
+    targets = rng.integers(0, V, (B, T)).astype(np.int32)
+    fs = jax.jit(
+        lambda x: chain_loss(
+            x, jnp.asarray(targets), jnp.asarray(lengths), g
+        ).sum()
+    )
+    gr = jax.grad(fs)(jnp.asarray(logits))
+    eps = 1e-2
+    for idx in [(0, 0, 1), (0, 2, 3), (1, 1, 0), (1, 2, 2)]:
+        e = np.zeros_like(logits)
+        e[idx] = eps
+        numg = (fs(jnp.asarray(logits + e)) - fs(jnp.asarray(logits - e))) / (
+            2 * eps
+        )
+        assert abs(float(gr[idx]) - float(numg)) < 1e-2
+
+
+def test_lf_mmi_training_e2e(tmp_path):
+    from espresso_tpu.cli.train import main as train_main
+    from tests.test_hybrid_e2e import NUM_PDF, make_hybrid_corpus
+
+    d = str(tmp_path)
+    make_hybrid_corpus(d, "train", num_utts=8, seed=0)
+    make_hybrid_corpus(d, "valid", num_utts=4, seed=1)
+    # simple ergodic denominator graph over NUM_PDF pdfs (self-loop + advance)
+    lines = []
+    for p in range(NUM_PDF):
+        lines.append(f"0 0 {p + 1} {p + 1} 1.0")
+    lines.append("0 0.0")
+    g = DenominatorGraph.from_fst_text("\n".join(lines))
+    gp = os.path.join(d, "den.npz")
+    g.save(gp)
+
+    stats = train_main(
+        [
+            f"dataset.data={d}",
+            f"checkpoint.save_dir={d}/ckpt",
+            "task.name=speech_recognition_hybrid",
+            f"task.num_targets={NUM_PDF}",
+            "task.chunk_width=20",
+            "task.chunk_left_context=5",
+            "task.chunk_right_context=5",
+            "dataset.feat_dim=8",
+            "dataset.batch_size=4",
+            "model.name=speech_tdnn",
+            "model.hidden_sizes=(16,16)",
+            "model.kernel_sizes=(3,3)",
+            "model.strides=(1,1)",
+            "model.dilations=(1,1)",
+            "model.norm_type=layer",
+            "criterion.name=lf_mmi_loss",
+            f"criterion.denominator_graph_path={gp}",
+            "optimization.max_epoch=2",
+            "optimization.lr=0.01",
+            "optimization.clip_norm=2.0",
+            "common.log_interval=20",
+            "common.dtype=float32",
+        ]
+    )
+    assert np.isfinite(stats["loss"])
