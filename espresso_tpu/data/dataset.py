@@ -60,6 +60,7 @@ class AsrDataset:
         autoregressive: bool = True,
         prepend_bos_as_input_feeding: bool = False,
         tokenizer=None,
+        global_cmvn_stats_path: Optional[str] = None,
     ):
         self.entries = list(entries)
         self.dict = dictionary
@@ -69,6 +70,11 @@ class AsrDataset:
         self.autoregressive = autoregressive
         self.prepend_bos = prepend_bos_as_input_feeding
         self.tokenizer = tokenizer
+        self.cmvn_mean = self.cmvn_std = None
+        if global_cmvn_stats_path:
+            stats = np.load(global_cmvn_stats_path)
+            self.cmvn_mean = stats["mean"].astype(np.float32)
+            self.cmvn_std = stats["std"].astype(np.float32)
         self._encode_targets()
         self.src_sizes = np.array(
             [
@@ -111,11 +117,16 @@ class AsrDataset:
     def get_features(self, index: int) -> np.ndarray:
         e = self.entries[index]
         if e.kind == "feat":
-            return kaldi_io.read_mat(e.audio)
-        wav, sr = read_audio(e.audio, e.kind)
-        if self.feature_type == "mfcc":
-            return mfcc_numpy(wav, sample_rate=sr, num_mel_bins=self.feat_dim)
-        return fbank_numpy(wav, sample_rate=sr, num_mel_bins=self.feat_dim)
+            mat = kaldi_io.read_mat(e.audio)
+        else:
+            wav, sr = read_audio(e.audio, e.kind)
+            if self.feature_type == "mfcc":
+                mat = mfcc_numpy(wav, sample_rate=sr, num_mel_bins=self.feat_dim)
+            else:
+                mat = fbank_numpy(wav, sample_rate=sr, num_mel_bins=self.feat_dim)
+        if self.cmvn_mean is not None:
+            mat = (mat - self.cmvn_mean) / self.cmvn_std
+        return mat
 
     # -- sizes for batching ---------------------------------------------------
     def num_tokens(self, index: int, batch_on_both: bool = False) -> int:

@@ -72,6 +72,7 @@ class SpeechRecognitionEspressoTask:
             sample_rate=self.cfg.dataset.sample_rate,
             autoregressive=self.autoregressive,
             tokenizer=self.tokenizer,
+            global_cmvn_stats_path=self.cfg.dataset.global_cmvn_stats_path,
         )
         # probe feat dim from the first utterance (reference :355-378)
         probe = ds.get_features(0)

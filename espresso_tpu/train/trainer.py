@@ -112,7 +112,15 @@ def make_train_step(
         jnp.bfloat16 if cfg.common.dtype == "bfloat16" else jnp.float32
     )
     clip_norm = cfg.optimization.clip_norm
-    ss_prob_fn = getattr(criterion, "ss_prob_fn", None)
+
+    # on-device SpecAugment fuses into the jitted step (TPU-first replacement
+    # for the reference's host-worker transform; global CMVN is applied at
+    # collation so train and decode share it)
+    specaug_cfg = None
+    if cfg.dataset.specaugment_config:
+        from espresso_tpu.features.specaugment import SpecAugmentConfig
+
+        specaug_cfg = SpecAugmentConfig.from_string(cfg.dataset.specaugment_config)
 
     def loss_for_microbatch(params, batch_stats, microbatch, rng, ss_prob):
         variables = {"params": params}
@@ -120,7 +128,17 @@ def make_train_step(
             variables["batch_stats"] = batch_stats
         mb = dict(microbatch)
         if "src_frames" in mb:
-            mb["src_frames"] = mb["src_frames"].astype(compute_dtype)
+            frames = mb["src_frames"].astype(jnp.float32)
+            if specaug_cfg is not None:
+                from espresso_tpu.features.specaugment import apply_specaugment
+
+                frames = apply_specaugment(
+                    frames,
+                    mb["src_lengths"],
+                    jax.random.fold_in(rng, 2),
+                    specaug_cfg,
+                )
+            mb["src_frames"] = frames.astype(compute_dtype)
         rngs = {"dropout": rng, "sampling": jax.random.fold_in(rng, 1)}
         loss, sample_size, logging, updates = criterion(
             model, variables, mb, rngs=rngs, train=True, ss_prob=ss_prob
