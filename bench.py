@@ -30,7 +30,7 @@ def main():
 
     VOCAB = 1024  # BPE-size vocab (reference librispeech recipe)
     FEAT_DIM = 80
-    B = 32
+    B = 128  # throughput-oriented batch decode
     T = 624  # 6.24 s per utterance at 10 ms frames
     FRAME_SHIFT_S = 0.01
 
@@ -66,6 +66,14 @@ def main():
     lengths = jnp.asarray(np.full(B, T, np.int32))
     prev = jnp.asarray(rng.integers(4, VOCAB, size=(B, 2)).astype(np.int32))
     variables = model.init(jax.random.PRNGKey(0), frames, lengths, prev)
+    # bf16 inference (score math stays fp32 inside the decoders)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        variables,
+    )
+    frames = frames.astype(jnp.bfloat16)
 
     class _Dict:
         def blank(self):
