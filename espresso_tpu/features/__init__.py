@@ -4,6 +4,7 @@ from espresso_tpu.features.fbank import (
     mfcc_numpy,
     num_samples_to_num_frames,
 )
+from espresso_tpu.features.pallas_fbank import fbank_fused, fbank_pallas
 from espresso_tpu.features.cmvn import GlobalCMVN, utterance_cmvn
 from espresso_tpu.features.specaugment import (
     SpecAugmentConfig,
@@ -12,6 +13,8 @@ from espresso_tpu.features.specaugment import (
 
 __all__ = [
     "fbank",
+    "fbank_fused",
+    "fbank_pallas",
     "fbank_numpy",
     "mfcc_numpy",
     "num_samples_to_num_frames",

@@ -131,3 +131,33 @@ def test_time_warp_runs():
     out = np.asarray(apply_specaugment(x, lengths, jax.random.PRNGKey(2), cfg))
     assert out.shape == x.shape
     assert np.isfinite(out).all()
+
+
+def test_fbank_fused_matches_oracle():
+    from espresso_tpu.features.pallas_fbank import fbank_fused
+
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(32000) * 1000).astype(np.float32)
+    batch = np.stack([wav, np.pad(wav[:16000], (0, 16000))])
+    ref0 = fbank_numpy(wav)
+    ref1 = fbank_numpy(wav[:16000])
+    out, lens = fbank_fused(jnp.asarray(batch), jnp.asarray([32000, 16000]))
+    out = np.asarray(out)
+    assert list(np.asarray(lens)) == [198, 98]
+    assert np.abs(out[0][: ref0.shape[0]] - ref0).max() < 2e-2
+    assert np.abs(out[1][: ref1.shape[0]] - ref1).max() < 2e-2
+    assert np.abs(out[1][98:]).max() == 0.0
+
+
+def test_fbank_pallas_kernel_matches_oracle_interpret():
+    from espresso_tpu.features.pallas_fbank import fbank_pallas
+
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal(24000) * 500).astype(np.float32)
+    ref = fbank_numpy(wav)
+    out, lens = fbank_pallas(
+        jnp.asarray(wav[None]), jnp.asarray([24000]), interpret=True
+    )
+    out = np.asarray(out)
+    assert int(lens[0]) == ref.shape[0]
+    assert np.abs(out[0][: ref.shape[0]] - ref).max() < 2e-2
