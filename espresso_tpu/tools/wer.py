@@ -117,6 +117,28 @@ class Scorer:
         self.aligned_results = ""
         self.num_utts = 0
 
+    def _char_counts_native(self, ref_chars, pred_chars):
+        try:
+            from espresso_tpu.clib import batched_edit_counts
+        except Exception:
+            return None
+        vocab: Dict[str, int] = {}
+
+        def ids(seq):
+            return [vocab.setdefault(c, len(vocab)) for c in seq]
+
+        out = batched_edit_counts([ids(ref_chars)], [ids(pred_chars)])
+        if out is None:
+            return None
+        corr, sub, ins, dele = (int(v) for v in out[0])
+        return {
+            "words": len(ref_chars),
+            "corr": corr,
+            "sub": sub,
+            "ins": ins,
+            "del": dele,
+        }
+
     def _filter(self, text: str) -> str:
         padded = f" {text} "
         for pat, repl in self.filters:
@@ -129,10 +151,13 @@ class Scorer:
     def add_evaluation(self, utt_id: str, ref: str, pred: str) -> None:
         self.num_utts += 1
         ref, pred = self._filter(ref), self._filter(pred)
-        # char-level
+        # char-level — native batched counts when the C++ lib is available
+        # (espresso_tpu/clib/edit_distance.cpp, the libnat replacement)
         ref_chars = list(" ".join(ref.split()))
         pred_chars = list(" ".join(pred.split()))
-        _, ccounts = edit_distance(ref_chars, pred_chars)
+        ccounts = self._char_counts_native(ref_chars, pred_chars)
+        if ccounts is None:
+            _, ccounts = edit_distance(ref_chars, pred_chars)
         for k in ("words", "corr", "sub", "ins", "del"):
             self.char_counter[k] += ccounts[k]
         # word-level

@@ -54,3 +54,26 @@ def test_output_filter(tmp_path):
     s = Scorer(wer_output_filter=str(f))
     s.add_evaluation("u1", "hello <noise> world", "hello world")
     assert s.wer() == 0.0
+
+
+def test_native_edit_distance_matches_python():
+    from espresso_tpu.clib import batched_edit_counts
+
+    rng = np.random.default_rng(0)
+    refs, hyps = [], []
+    for _ in range(20):
+        n = int(rng.integers(0, 30))
+        m = int(rng.integers(0, 30))
+        refs.append(rng.integers(0, 5, n).tolist())
+        hyps.append(rng.integers(0, 5, m).tolist())
+    out = batched_edit_counts(refs, hyps)
+    if out is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    for b, (r, h) in enumerate(zip(refs, hyps)):
+        _, c = edit_distance([str(x) for x in r], [str(x) for x in h])
+        assert (
+            tuple(int(v) for v in out[b])
+            == (c["corr"], c["sub"], c["ins"], c["del"])
+        ), (b, out[b], c)
