@@ -48,16 +48,16 @@ def load_model_for_decoding(cfg: EspressoConfig, task):
     )[0]
     sample = ds.collate(spec)
     optimizer, _ = build_optimizer(cfg)
-    state = create_train_state(
-        model,
-        optimizer,
+    from espresso_tpu.train.trainer import make_device_feature_fn
+
+    sample = make_device_feature_fn(cfg)(
         {
             k: jnp.asarray(v)
             for k, v in sample.items()
             if isinstance(v, np.ndarray)
-        },
-        jax.random.PRNGKey(0),
+        }
     )
+    state = create_train_state(model, optimizer, sample, jax.random.PRNGKey(0))
     path = os.path.join(
         cfg.checkpoint.save_dir, cfg.checkpoint.restore_file
     )
@@ -169,17 +169,25 @@ def main(argv=None) -> Dict[str, float]:
         shuffle=False,
     ).next_epoch_itr()
 
+    from espresso_tpu.train.trainer import make_device_feature_fn
+
+    prepare_features = make_device_feature_fn(cfg)
     scorer = Scorer(task.dictionary, cfg.generation.wer_output_filter)
     num_utts = 0
     num_tokens = 0
     t0 = time.perf_counter()
     has_ref = False
     for group in itr:
-        for i in range(group["src_frames"].shape[0]):
+        for i in range(group["prev_output_tokens"].shape[0]):
             mb = {
                 k: v[i] for k, v in group.items() if isinstance(v, np.ndarray)
             }
-            hypos = generator.decode(variables, mb)
+            dec_mb = prepare_features({k: jnp.asarray(v) for k, v in mb.items()})
+            dec_mb = {
+                k: np.asarray(v) if hasattr(v, "shape") else v
+                for k, v in dec_mb.items()
+            }
+            hypos = generator.decode(variables, dec_mb)
             utt_ids = group["utt_ids"][i]
             for b, hyp_list in enumerate(hypos):
                 if mb["weight"][b] <= 0:

@@ -59,7 +59,9 @@ def put_batch(batch: Dict[str, Any], sharding) -> Dict[str, jnp.ndarray]:
 
 def validate(cfg, task, model, criterion, valid_step, state, valid_itr, scorer_cls):
     from espresso_tpu.tools.wer import Scorer
+    from espresso_tpu.train.trainer import make_device_feature_fn
 
+    prepare_features = make_device_feature_fn(cfg)
     agg = MetricsAggregator()
     decoder = task.build_valid_decoder(model)
     scorer = Scorer(task.dictionary, cfg.generation.wer_output_filter)
@@ -79,7 +81,14 @@ def validate(cfg, task, model, criterion, valid_step, state, valid_itr, scorer_c
             if decoder is None:
                 continue
             # WER decode (reference valid_step :598-607)
-            hypos = decoder.decode(variables, mb)
+            dec_mb = prepare_features(
+                {k: jnp.asarray(v) for k, v in mb.items()}
+            )
+            dec_mb = {
+                k: np.asarray(v) if hasattr(v, "shape") else v
+                for k, v in dec_mb.items()
+            }
+            hypos = decoder.decode(variables, dec_mb)
             utt_ids = group["utt_ids"][i]
             weights = mb["weight"]
             for b, hyp in enumerate(hypos):
@@ -156,14 +165,20 @@ def main(argv=None) -> Dict[str, float]:
         update_freq=update_freq,
     )
 
-    # init state from one sample microbatch
+    # init state from one sample microbatch (device features resolved first)
+    from espresso_tpu.train.trainer import make_device_feature_fn
+
+    prepare_features = make_device_feature_fn(cfg)
     sample_group = train_itr.make_batches(1)[0]
     sample = train_ds.collate(sample_group[0])
+    sample = prepare_features(
+        {k: jnp.asarray(v) for k, v in sample.items() if isinstance(v, np.ndarray)}
+    )
     rng = jax.random.PRNGKey(cfg.common.seed)
     state = create_train_state(
         model,
         optimizer,
-        {k: jnp.asarray(v) for k, v in sample.items() if isinstance(v, np.ndarray)},
+        sample,
         rng,
         ema=cfg.optimization.ema_decay > 0,
     )

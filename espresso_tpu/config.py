@@ -231,7 +231,7 @@ def _coerce(value: str) -> Any:
     """Parse a CLI string into bool/int/float/list/str. Bracketed values are
     literal-evaluated (the reference's evaluatable-string convention for conv
     shapes, speech_lstm.py:46-57)."""
-    if value[:1] in ("(", "["):
+    if value[:1] in ("(", "[", "{"):
         import ast
 
         return ast.literal_eval(value)

@@ -61,6 +61,7 @@ class AsrDataset:
         prepend_bos_as_input_feeding: bool = False,
         tokenizer=None,
         global_cmvn_stats_path: Optional[str] = None,
+        device_features: bool = False,
     ):
         self.entries = list(entries)
         self.dict = dictionary
@@ -75,6 +76,12 @@ class AsrDataset:
             stats = np.load(global_cmvn_stats_path)
             self.cmvn_mean = stats["mean"].astype(np.float32)
             self.cmvn_std = stats["std"].astype(np.float32)
+        # device_features: collate raw waveforms; fbank runs fused on device
+        # (reference on-the-fly torchaudio path, feat_text_dataset.py:144-149,
+        # moved from host workers onto the TPU)
+        self.device_features = device_features and all(
+            e.kind in ("wave", "command") for e in self.entries
+        )
         self._encode_targets()
         self.src_sizes = np.array(
             [
@@ -239,19 +246,74 @@ class AsrDataset:
                 groups.append(chunk)
         return groups
 
+    def _collate_waveforms(self, spec: BatchSpec, epoch: int = 1) -> Dict[str, Any]:
+        """Waveform collation for on-device feature extraction: frames are
+        computed by fbank_fused inside the jitted step. src_bucket is in
+        FRAMES (the batching currency); samples = frames*shift + window."""
+        from espresso_tpu.features.fbank import MILLISECONDS_TO_SECONDS
+
+        B = len(spec.indices)
+        T, U = spec.src_bucket, spec.tgt_bucket
+        shift = round(self.sample_rate * MILLISECONDS_TO_SECONDS * 10.0)
+        window = round(self.sample_rate * MILLISECONDS_TO_SECONDS * 25.0)
+        S = (T - 1) * shift + window
+        wavs = np.zeros((B, S), dtype=np.float32)
+        num_samples = np.zeros(B, dtype=np.int32)
+        pad = self.dict.pad() if self.dict is not None else 0
+        eos = self.dict.eos() if self.dict is not None else 0
+        target = np.full((B, U), pad, dtype=np.int32)
+        prev_output = np.full((B, U), pad, dtype=np.int32)
+        tgt_lengths = np.zeros(B, dtype=np.int32)
+        src_lengths = np.zeros(B, dtype=np.int32)
+        utt_ids: List[str] = []
+        for row, idx in enumerate(spec.indices):
+            e = self.entries[int(idx)]
+            wav, sr = read_audio(e.audio, e.kind)
+            L = min(len(wav), S)
+            wavs[row, :L] = wav[:L]
+            num_samples[row] = L
+            src_lengths[row] = min(
+                num_samples_to_num_frames(L, sr), T
+            )
+            utt_ids.append(e.utt_id)
+            tgt = self.targets[int(idx)][:U]
+            target[row, : len(tgt)] = tgt
+            tgt_lengths[row] = len(tgt)
+            if self.autoregressive and len(tgt) > 0:
+                prev_output[row, 0] = eos
+                prev_output[row, 1 : len(tgt)] = tgt[: len(tgt) - 1]
+        weight = (np.arange(B) < spec.num_real).astype(np.float32)
+        order = np.argsort(-src_lengths, kind="stable")
+        return {
+            "utt_ids": [utt_ids[i] for i in order],
+            "src_waveforms": wavs[order],
+            "num_samples": num_samples[order],
+            "src_lengths": src_lengths[order],
+            "target": target[order],
+            "prev_output_tokens": prev_output[order],
+            "tgt_lengths": tgt_lengths[order],
+            "weight": weight[order],
+            "ntokens": int((tgt_lengths * weight).sum()),
+            "nsentences": spec.num_real,
+        }
+
     def collate_group(self, group: List["BatchSpec"], epoch: int = 1) -> Dict[str, Any]:
         """Collate a same-shape spec group into stacked arrays
         [n_micro, B, ...] for the grad-accum scan."""
         parts = [self.collate(s, epoch) for s in group]
         out: Dict[str, Any] = {}
-        for key in (
-            "src_frames",
+        keys = (
+            ("src_waveforms", "num_samples")
+            if self.device_features
+            else ("src_frames",)
+        ) + (
             "src_lengths",
             "target",
             "prev_output_tokens",
             "tgt_lengths",
             "weight",
-        ):
+        )
+        for key in keys:
             out[key] = np.stack([p[key] for p in parts])
         out["utt_ids"] = [p["utt_ids"] for p in parts]
         out["ntokens"] = sum(p["ntokens"] for p in parts)
@@ -260,6 +322,8 @@ class AsrDataset:
 
     # -- collation ------------------------------------------------------------
     def collate(self, spec: BatchSpec, epoch: int = 1) -> Dict[str, Any]:
+        if self.device_features:
+            return self._collate_waveforms(spec, epoch)
         B = len(spec.indices)
         T, U = spec.src_bucket, spec.tgt_bucket
         feats = np.zeros((B, T, self.feat_dim), dtype=np.float32)

@@ -38,8 +38,8 @@ class SpecAugmentConfig:
     max_time_masks: int = 20  # static bound for the adaptive count
 
     @classmethod
-    def from_string(cls, config: str) -> "SpecAugmentConfig":
-        d = ast.literal_eval(config)
+    def from_string(cls, config) -> "SpecAugmentConfig":
+        d = ast.literal_eval(config) if isinstance(config, str) else dict(config)
         return cls(
             freq_mask_width=d.get("F", d.get("freq_mask_F", 27)),
             num_freq_masks=d.get("num_freq_masks", d.get("freq_mask_N", 2)),

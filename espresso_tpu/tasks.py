@@ -64,6 +64,7 @@ class SpeechRecognitionEspressoTask:
         if split in self.datasets:
             return self.datasets[split]
         entries = load_manifest(self.cfg.dataset.data, split)
+        device_feats = self.cfg.dataset.feature_type == "device_fbank"
         ds = AsrDataset(
             entries,
             self.dictionary,
@@ -72,7 +73,10 @@ class SpeechRecognitionEspressoTask:
             sample_rate=self.cfg.dataset.sample_rate,
             autoregressive=self.autoregressive,
             tokenizer=self.tokenizer,
-            global_cmvn_stats_path=self.cfg.dataset.global_cmvn_stats_path,
+            global_cmvn_stats_path=(
+                None if device_feats else self.cfg.dataset.global_cmvn_stats_path
+            ),
+            device_features=device_feats,
         )
         # probe feat dim from the first utterance (reference :355-378)
         probe = ds.get_features(0)

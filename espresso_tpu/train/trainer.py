@@ -86,6 +86,44 @@ def build_optimizer(cfg: EspressoConfig) -> Tuple[optax.GradientTransformation, 
     return optax.chain(*chain), schedule
 
 
+def make_device_feature_fn(cfg: EspressoConfig):
+    """On-device fbank for waveform batches (fbank_fused) + global CMVN.
+    Returns fn(mb) -> mb with src_frames; identity for precomputed frames."""
+    feat_dim = cfg.dataset.feat_dim
+    sample_rate = cfg.dataset.sample_rate
+    cmvn = None
+    if cfg.dataset.global_cmvn_stats_path:
+        import numpy as _np
+
+        stats = _np.load(cfg.dataset.global_cmvn_stats_path)
+        cmvn = (
+            jnp.asarray(stats["mean"], jnp.float32),
+            jnp.asarray(stats["std"], jnp.float32),
+        )
+
+    def prepare(mb):
+        if "src_waveforms" not in mb:
+            return mb
+        from espresso_tpu.features.pallas_fbank import fbank_fused
+
+        frames, lengths = fbank_fused(
+            mb["src_waveforms"],
+            mb["num_samples"],
+            sample_rate=float(sample_rate),
+            num_mel_bins=feat_dim,
+        )
+        if cmvn is not None:
+            frames = (frames - cmvn[0]) / cmvn[1]
+        out = dict(mb)
+        out.pop("src_waveforms")
+        out.pop("num_samples")
+        out["src_frames"] = frames
+        out["src_lengths"] = lengths
+        return out
+
+    return prepare
+
+
 def cast_floats(tree, dtype):
     def cast(x):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
@@ -122,11 +160,13 @@ def make_train_step(
 
         specaug_cfg = SpecAugmentConfig.from_string(cfg.dataset.specaugment_config)
 
+    prepare_features = make_device_feature_fn(cfg)
+
     def loss_for_microbatch(params, batch_stats, microbatch, rng, ss_prob):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        mb = dict(microbatch)
+        mb = prepare_features(dict(microbatch))
         if "src_frames" in mb:
             frames = mb["src_frames"].astype(jnp.float32)
             if specaug_cfg is not None:
@@ -250,11 +290,13 @@ def make_valid_step(model, criterion, cfg: EspressoConfig):
         jnp.bfloat16 if cfg.common.dtype == "bfloat16" else jnp.float32
     )
 
+    prepare_features = make_device_feature_fn(cfg)
+
     def valid_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        mb = dict(batch)
+        mb = prepare_features(dict(batch))
         if "src_frames" in mb:
             mb["src_frames"] = mb["src_frames"].astype(compute_dtype)
         loss, sample_size, logging, _ = criterion(
