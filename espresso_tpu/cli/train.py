@@ -117,6 +117,10 @@ def main(argv=None) -> Dict[str, float]:
     )
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
     np.random.seed(cfg.common.seed)
+    if cfg.common.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if cfg.common.log_compiles:
+        jax.config.update("jax_log_compiles", True)
 
     init_distributed(
         cfg.distributed.coordinator_address,
@@ -261,6 +265,13 @@ def main(argv=None) -> Dict[str, float]:
         ss_prob = (
             jnp.float32(ss_scheduler.step(epoch)) if ss_scheduler else None
         )
+        profiling = cfg.common.profile and epoch == 1
+        if profiling:
+            import os as _os
+
+            jax.profiler.start_trace(
+                _os.path.join(cfg.checkpoint.save_dir, "profile")
+            )
         for group in epoch_itr:
             dev_batch = put_batch(group, bsharding)
             rng, step_rng = jax.random.split(rng)
@@ -269,6 +280,10 @@ def main(argv=None) -> Dict[str, float]:
             else:
                 state, metrics = train_step(state, dev_batch, step_rng)
             num_updates += 1
+            if profiling and num_updates >= 5:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profile trace written to %s/profile", cfg.checkpoint.save_dir)
             agg.update({k: float(v) for k, v in metrics.items()})
             if num_updates % cfg.common.log_interval == 0:
                 stats = agg.smoothed()
@@ -287,6 +302,8 @@ def main(argv=None) -> Dict[str, float]:
                     state, host_state, epoch, end_of_epoch=False, updates=num_updates
                 )
 
+        if profiling:
+            jax.profiler.stop_trace()
         train_stats = agg.smoothed()
         progress.print_epoch(train_stats, epoch)
 

@@ -37,7 +37,12 @@ class CommonConfig:
     dtype: str = "bfloat16"  # float32 | bfloat16
     # rematerialisation policy for encoder layers: none | full | dots
     remat: str = "none"
-    profile: bool = False
+    profile: bool = False  # jax.profiler trace of the first training steps
+    # arm NaN detection (reference NanDetector, fairseq/nan_detector.py)
+    debug_nans: bool = False
+    # log every XLA recompilation (reference _check_xla_compilation,
+    # trainer.py:1534)
+    log_compiles: bool = False
     user_dir: Optional[str] = None
 
 

@@ -169,6 +169,7 @@ class AsrDataset:
         seed: int = 1,
         epoch: int = 1,
         tgt_pad_multiple: int = 32,
+        batch_based_on_both_src_tgt: bool = False,
     ) -> List[BatchSpec]:
         indices = self.ordered_indices(shuffle=shuffle, seed=seed, epoch=epoch)
         indices, _ = filter_by_size(
@@ -178,17 +179,30 @@ class AsrDataset:
             self.tgt_sizes if self.tgt_sizes.max() > 0 else None,
             max_target_positions,
         )
+        # transducer memory batching: budget the T*U lattice product
+        # (reference asr_dataset.py:369-382, conformer yaml max-tokens 590000)
+        if batch_based_on_both_src_tgt and self.tgt_sizes.max() > 0:
+            sizes_for_batching = self.src_sizes * np.maximum(self.tgt_sizes, 1)
+        else:
+            sizes_for_batching = self.src_sizes
         bucket_sizes = quantile_buckets(
-            self.src_sizes[indices], min(num_buckets, len(indices))
+            sizes_for_batching[indices], min(num_buckets, len(indices))
         )
         raw = bucket_batches(
             indices,
-            self.src_sizes,
+            sizes_for_batching,
             bucket_sizes,
             max_tokens=max_tokens,
             max_sentences=max_sentences,
             required_batch_size_multiple=required_batch_size_multiple,
         )
+        if batch_based_on_both_src_tgt and self.tgt_sizes.max() > 0:
+            # re-derive the padded src length per batch (bucket keyed on T*U);
+            # round up to multiples of 64 frames to bound the XLA shape count
+            raw = [
+                (chunk, int(-(-int(self.src_sizes[chunk].max()) // 64) * 64))
+                for chunk, _ in raw
+            ]
         # fixed tgt pad per src bucket: dataset-wide max tgt in bucket, rounded
         bucket_tgt: Dict[int, int] = {}
         for chunk, src_bucket in raw:

@@ -100,6 +100,10 @@ class SpeechRecognitionEspressoTask:
     ) -> EpochBatchIterator:
         dcfg = self.cfg.dataset
 
+        extra = {}
+        if dcfg.batch_based_on_both_src_tgt and isinstance(dataset, AsrDataset):
+            extra["batch_based_on_both_src_tgt"] = True
+
         def make_batches(ep: int):
             specs = dataset.make_batch_specs(
                 max_tokens=max_tokens,
@@ -111,6 +115,7 @@ class SpeechRecognitionEspressoTask:
                 shuffle=shuffle,
                 seed=seed,
                 epoch=ep,
+                **extra,
             )
             return dataset.group_specs(specs, update_freq)
 
