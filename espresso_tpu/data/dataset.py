@@ -82,6 +82,12 @@ class AsrDataset:
         self.device_features = device_features and all(
             e.kind in ("wave", "command") for e in self.entries
         )
+        # bounded feature cache (reference AudioFeatCachedDataset /
+        # AudioFeatInMemoryDataset, feat_text_dataset.py:171,:276)
+        from collections import OrderedDict as _OD
+
+        self._feat_cache: "Optional[_OD]" = _OD()
+        self._feat_cache_max = 1024
         self._encode_targets()
         self.src_sizes = np.array(
             [
@@ -98,6 +104,16 @@ class AsrDataset:
     def _encode_targets(self) -> None:
         self.targets: List[np.ndarray] = []
         for e in self.entries:
+            # pre-tokenized token_text takes precedence (reference manifest
+            # field, asr_prep_json --token-text-files)
+            token_text = getattr(e, "token_text", None)
+            if token_text is not None and self.dict is not None:
+                self.targets.append(
+                    self.dict.encode_line(
+                        token_text, append_eos=self.autoregressive
+                    )
+                )
+                continue
             if e.text is None or self.dict is None:
                 self.targets.append(np.zeros(0, dtype=np.int32))
                 continue
@@ -122,6 +138,17 @@ class AsrDataset:
 
     # -- feature access -----------------------------------------------------
     def get_features(self, index: int) -> np.ndarray:
+        if self._feat_cache is not None and index in self._feat_cache:
+            self._feat_cache.move_to_end(index)
+            return self._feat_cache[index]
+        mat = self._load_features(index)
+        if self._feat_cache is not None:
+            self._feat_cache[index] = mat
+            if len(self._feat_cache) > self._feat_cache_max:
+                self._feat_cache.popitem(last=False)
+        return mat
+
+    def _load_features(self, index: int) -> np.ndarray:
         e = self.entries[index]
         if e.kind == "feat":
             mat = kaldi_io.read_mat(e.audio)
@@ -179,6 +206,34 @@ class AsrDataset:
             self.tgt_sizes if self.tgt_sizes.max() > 0 else None,
             max_target_positions,
         )
+        # num_buckets=0: dynamic token-budget batching (the reference's
+        # default GPU path, data_utils_fast.pyx semantics) — variable shapes,
+        # useful off-TPU
+        if num_buckets <= 0:
+            from espresso_tpu.data.batching import batch_by_size
+
+            batches = batch_by_size(
+                indices,
+                self.src_sizes[indices],
+                max_tokens=max_tokens,
+                max_sentences=max_sentences,
+                required_batch_size_multiple=required_batch_size_multiple,
+            )
+            specs = []
+            for chunk in batches:
+                tgt_max = (
+                    int(self.tgt_sizes[chunk].max()) if len(self.tgt_sizes) else 1
+                )
+                specs.append(
+                    BatchSpec(
+                        indices=chunk,
+                        num_real=len(chunk),
+                        src_bucket=int(self.src_sizes[chunk].max()),
+                        tgt_bucket=max(tgt_max, 1),
+                    )
+                )
+            return specs
+
         # transducer memory batching: budget the T*U lattice product
         # (reference asr_dataset.py:369-382, conformer yaml max-tokens 590000)
         if batch_based_on_both_src_tgt and self.tgt_sizes.max() > 0:

@@ -223,6 +223,18 @@ class SpeechRecognitionEspressoTask:
                 lm_weight=lm_weight,
             )
         if crit == "ctc_loss":
+            if gen_cfg.beam > 1:
+                from espresso_tpu.decode.ctc_decoder import (
+                    CTCPrefixBeamSearchDecoder,
+                )
+
+                return CTCPrefixBeamSearchDecoder(
+                    model,
+                    self.dictionary,
+                    beam_size=gen_cfg.beam,
+                    lm=lm,
+                    lm_weight=lm_weight,
+                )
             from espresso_tpu.decode.ctc_decoder import CTCGreedyDecoder
 
             return CTCGreedyDecoder(model, self.dictionary)

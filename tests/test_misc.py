@@ -1,0 +1,130 @@
+"""Reproducibility, CTC prefix beam search, dynamic batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.utils import make_corpus
+
+
+def test_reproducibility_two_runs_same_losses(tmp_path):
+    """Same seed -> identical losses (reference tests/test_reproducibility.py)."""
+    from espresso_tpu.cli.train import main as train_main
+
+    d = str(tmp_path)
+    make_corpus(d, "train", num_utts=12, feat_dim=8, seed=0)
+    make_corpus(d, "valid", num_utts=4, feat_dim=8, seed=1)
+    args = [
+        f"dataset.data={d}",
+        "dataset.max_tokens=800",
+        "dataset.num_batch_buckets=2",
+        "dataset.required_batch_size_multiple=2",
+        "dataset.feat_dim=8",
+        "model.name=speech_lstm",
+        "model.conv_channels=(4,)",
+        "model.conv_kernel_sizes=((3,3),)",
+        "model.conv_strides=((2,2),)",
+        "model.encoder_hidden_size=16",
+        "model.encoder_layers=1",
+        "model.decoder_embed_dim=8",
+        "model.decoder_hidden_size=16",
+        "model.decoder_out_embed_dim=16",
+        "model.decoder_layers=1",
+        "model.attention_dim=16",
+        "model.dropout=0.0",
+        "optimization.max_epoch=1",
+        "optimization.lr=0.003",
+        "common.log_interval=50",
+        "common.dtype=float32",
+        "common.seed=7",
+    ]
+    s1 = train_main(args + [f"checkpoint.save_dir={d}/ckpt1"])
+    s2 = train_main(args + [f"checkpoint.save_dir={d}/ckpt2"])
+    assert abs(s1["loss"] - s2["loss"]) < 1e-6
+    assert abs(s1["valid_loss"] - s2["valid_loss"]) < 1e-6
+
+
+def test_ctc_prefix_beam_search():
+    from espresso_tpu.data.dictionary import AsrDictionary
+    from espresso_tpu.decode.ctc_decoder import CTCPrefixBeamSearchDecoder
+
+    dic = AsrDictionary(enable_bos=True)  # blank=bos=0
+
+    # hand-built log-prob sequence where prefix search beats best-path:
+    # classic example — two frames, probs such that summing paths for a
+    # shorter prefix wins over the argmax path
+    class _M:
+        def apply(self, variables, frames, lengths):
+            from espresso_tpu.models.base import EncoderOut
+
+            lp = jnp.log(
+                jnp.asarray(
+                    [[[0.4, 0.6, 0.0001], [0.4, 0.6, 0.0001]]], jnp.float32
+                )
+            )
+
+            class E:
+                src_lengths = jnp.asarray([2])
+
+            return lp, EncoderOut(
+                encoder_out=lp,
+                encoder_padding_mask=jnp.ones((1, 2), bool),
+                src_lengths=jnp.asarray([2]),
+            )
+
+    dec = CTCPrefixBeamSearchDecoder(_M(), dic, beam_size=4)
+    out = dec.decode(
+        None,
+        {
+            "src_frames": np.zeros((1, 2, 3), np.float32),
+            "src_lengths": np.asarray([2]),
+        },
+    )
+    # paths: [1,1]->"1" 0.36, [1,b]/[b,1]->"1" 0.24+0.24, [b,b]->"" 0.16
+    # prefix "1" total = 0.36 + 0.48 = 0.84 > "" 0.16
+    best = out[0][0]
+    assert best["tokens"].tolist() == [1]
+    assert abs(np.exp(best["score"]) - 0.84) < 1e-3
+
+
+def test_dynamic_batching_num_buckets_zero(tmp_path):
+    from espresso_tpu.data.dataset import AsrDataset
+    from espresso_tpu.data.dictionary import AsrDictionary
+    from espresso_tpu.data.encoders import CharactersAsr
+    from espresso_tpu.data.manifest import load_manifest
+
+    d = str(tmp_path)
+    make_corpus(d, "train", num_utts=20, feat_dim=8, seed=0)
+    dic = AsrDictionary.load(f"{d}/dict.txt")
+    ds = AsrDataset(
+        load_manifest(d, "train"), dic, feat_dim=8, tokenizer=CharactersAsr()
+    )
+    specs = ds.make_batch_specs(
+        max_tokens=400, max_sentences=None, num_buckets=0, shuffle=False
+    )
+    seen = []
+    for s in specs:
+        assert s.num_real == len(s.indices)
+        assert ds.src_sizes[s.indices].max() <= s.src_bucket
+        seen.extend(s.indices.tolist())
+    assert sorted(seen) == list(range(20))
+
+
+def test_token_text_preference(tmp_path):
+    import json
+
+    from espresso_tpu.data.dataset import AsrDataset
+    from espresso_tpu.data.dictionary import AsrDictionary
+    from espresso_tpu.data.manifest import load_manifest
+
+    d = str(tmp_path)
+    make_corpus(d, "train", num_utts=2, feat_dim=8, seed=0)
+    m = json.load(open(f"{d}/train.json"))
+    for k in m:
+        m[k]["token_text"] = "a b <space>"
+    json.dump(m, open(f"{d}/train.json", "w"))
+    dic = AsrDictionary.load(f"{d}/dict.txt")
+    ds = AsrDataset(load_manifest(d, "train"), dic, feat_dim=8)
+    expected = [dic.index("a"), dic.index("b"), dic.space(), dic.eos()]
+    assert ds.targets[0].tolist() == expected
