@@ -173,6 +173,36 @@ def main(argv=None) -> Dict[str, float]:
 
     prepare_features = make_device_feature_fn(cfg)
     scorer = Scorer(task.dictionary, cfg.generation.wer_output_filter)
+    attn_store: Dict[str, Any] = {}
+
+    def collect_attention(dec_mb, hypos, utt_ids):
+        """Exact attention for the 1-best hypothesis by teacher-forcing it
+        through the decoder (reference --print-alignment attention plots,
+        speech_recognize.py:265-314)."""
+        if not hasattr(model, "decode_sequence"):
+            return
+        eos = task.dictionary.eos()
+        for b, hyp_list in enumerate(hypos):
+            toks = hyp_list[0]["tokens"]
+            if dec_mb["weight"][b] <= 0 or len(toks) == 0:
+                continue
+            prev = np.concatenate([[eos], toks]).astype(np.int32)
+            enc = model.apply(
+                variables,
+                jnp.asarray(dec_mb["src_frames"][b : b + 1]),
+                jnp.asarray(dec_mb["src_lengths"][b : b + 1]),
+                method="encode",
+            )
+            out = model.apply(
+                variables,
+                jnp.asarray(prev[None]),
+                enc,
+                method="decode_sequence",
+            )
+            attn = out[1][1] if isinstance(out, tuple) else None
+            if attn is not None:
+                attn_store[utt_ids[b]] = np.asarray(attn[0])
+
     num_utts = 0
     num_tokens = 0
     t0 = time.perf_counter()
@@ -189,6 +219,8 @@ def main(argv=None) -> Dict[str, float]:
             }
             hypos = generator.decode(variables, dec_mb)
             utt_ids = group["utt_ids"][i]
+            if cfg.generation.print_alignment:
+                collect_attention(dec_mb, hypos, utt_ids)
             for b, hyp_list in enumerate(hypos):
                 if mb["weight"][b] <= 0:
                     continue
@@ -220,6 +252,9 @@ def main(argv=None) -> Dict[str, float]:
     results: Dict[str, float] = {"num_utts": num_utts}
     out_dir = cfg.generation.results_path or cfg.checkpoint.save_dir
     os.makedirs(out_dir, exist_ok=True)
+    if attn_store:
+        np.savez(os.path.join(out_dir, "attn.npz"), **attn_store)
+        logger.info("saved %d attention matrices to attn.npz", len(attn_store))
     with open(os.path.join(out_dir, "decoded_results.txt"), "w") as f:
         f.write(scorer.results)
     if has_ref:

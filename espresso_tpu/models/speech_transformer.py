@@ -70,6 +70,10 @@ class SpeechTransformerConfig:
     chunk_right_window: int = 0
     context_left: int = -1  # -1 = unlimited
     context_right: int = -1
+    # rematerialize encoder layers in the backward pass (activation
+    # checkpointing; reference checkpoint_activations wrapper,
+    # speech_transformer_encoder.py:205-208)
+    remat: bool = False
     # decoder
     decoder_embed_dim: int = 256
     decoder_ffn_dim: int = 1024
@@ -135,9 +139,14 @@ class SpeechTransformerEncoder(nn.Module):
                 cfg.context_right if cfg.context_right >= 0 else None,
             )
 
+        conformer_cls = ConformerEncoderLayer
+        transformer_cls = TransformerEncoderLayer
+        if cfg.remat:
+            conformer_cls = nn.remat(ConformerEncoderLayer, static_argnums=(5,))
+            transformer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(5,))
         for i in range(cfg.encoder_layers):
             if cfg.encoder_layer_type == "conformer":
-                x = ConformerEncoderLayer(
+                x = conformer_cls(
                     cfg.encoder_embed_dim,
                     cfg.encoder_ffn_dim,
                     cfg.encoder_heads,
@@ -146,16 +155,16 @@ class SpeechTransformerEncoder(nn.Module):
                     use_relative_pos=cfg.encoder_pos_type == "relative",
                     conv_norm_type=cfg.conformer_norm_type,
                     name=f"layer{i}",
-                )(x, padding_mask, attn_mask, rel_pos, train=train)
+                )(x, padding_mask, attn_mask, rel_pos, train)
             else:
-                x = TransformerEncoderLayer(
+                x = transformer_cls(
                     cfg.encoder_embed_dim,
                     cfg.encoder_ffn_dim,
                     cfg.encoder_heads,
                     dropout=cfg.dropout,
                     use_relative_pos=cfg.encoder_pos_type == "relative",
                     name=f"layer{i}",
-                )(x, padding_mask, attn_mask, rel_pos, train=train)
+                )(x, padding_mask, attn_mask, rel_pos, train)
         x = nn.LayerNorm(name="final_norm")(x)
         return EncoderOut(
             encoder_out=x, encoder_padding_mask=padding_mask, src_lengths=lengths

@@ -170,6 +170,11 @@ class SpeechRecognitionEspressoTask:
         model_cfg.feat_dim = self.feat_dim
         if hasattr(model_cfg, "pad_index") and self.dictionary is not None:
             model_cfg.pad_index = self.dictionary.pad()
+        # activation checkpointing (common.remat=full)
+        if self.cfg.common.remat != "none":
+            for target in (model_cfg, getattr(model_cfg, "encoder", None)):
+                if target is not None and hasattr(target, "remat"):
+                    target.remat = True
         model_cls = MODELS.get(base_name)
         self.model_cfg = model_cfg
         return model_cls(model_cfg)
