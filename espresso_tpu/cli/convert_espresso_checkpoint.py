@@ -1,0 +1,202 @@
+"""Convert an Espresso (PyTorch) checkpoint into this framework's format.
+
+Enables WER-parity validation against reference-trained models
+(SURVEY.md §7 step 11). Supports ``speech_lstm`` encoder-decoder models and
+``lstm_lm_espresso`` language models.
+
+Layout mapping (verified block-by-block against plain-torch reimplementations
+in tests/test_convert.py):
+  * Conv2d OIHW -> flax HWIO; BatchNorm weight/bias/running stats ->
+    scale/bias + batch_stats
+  * nn.LSTM ``weight_ih_l{k}[_reverse]`` [4H, in] -> ``fwd_{k}/bwd_{k}`` ih
+    kernel [in, 4H] (transposed); ``bias_ih + bias_hh`` -> single ih bias;
+    ``weight_hh`` -> hh_kernel. Torch gate order (i, f, g, o) matches ours.
+  * LSTMCell stacks -> ``cell{i}_ih`` / ``cell{i}_hh``
+  * Bahdanau attention query_proj/value_proj/v/g/b -> query_proj/key_proj/
+    v/g/b (g squeezed to a scalar)
+  * nn.Linear [out, in] -> kernel [in, out]
+
+Usage:
+    python -m espresso_tpu.cli.convert_espresso_checkpoint \
+        --input checkpoint_best.pt --arch speech_lstm --output ckpt_dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import re
+import sys
+from typing import Any, Dict
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+logger = logging.getLogger("espresso_tpu.convert")
+
+
+def _t(x) -> np.ndarray:
+    return np.ascontiguousarray(x.detach().cpu().numpy().astype(np.float32))
+
+
+def convert_conv_frontend(sd: Dict[str, Any], prefix: str):
+    """Espresso ConvBNReLU -> ConvFrontend params + batch_stats."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    i = 0
+    while f"{prefix}.convolutions.{i}.weight" in sd:
+        w = _t(sd[f"{prefix}.convolutions.{i}.weight"])  # [O, I, kh, kw]
+        params[f"Conv_{i}"] = {
+            "kernel": w.transpose(2, 3, 1, 0),
+            "bias": _t(sd[f"{prefix}.convolutions.{i}.bias"]),
+        }
+        if f"{prefix}.batchnorms.{i}.weight" in sd:
+            params[f"BatchNorm_{i}"] = {
+                "scale": _t(sd[f"{prefix}.batchnorms.{i}.weight"]),
+                "bias": _t(sd[f"{prefix}.batchnorms.{i}.bias"]),
+            }
+            stats[f"BatchNorm_{i}"] = {
+                "mean": _t(sd[f"{prefix}.batchnorms.{i}.running_mean"]),
+                "var": _t(sd[f"{prefix}.batchnorms.{i}.running_var"]),
+            }
+        i += 1
+    return params, stats
+
+
+def _lstm_dir(sd, key_w_ih, key_w_hh, key_b_ih, key_b_hh):
+    w_ih = _t(sd[key_w_ih])  # [4H, in]
+    w_hh = _t(sd[key_w_hh])  # [4H, H]
+    bias = _t(sd[key_b_ih]) + _t(sd[key_b_hh])
+    return {
+        "ih": {"kernel": w_ih.T, "bias": bias},
+        "hh_kernel": w_hh.T,
+    }
+
+
+def convert_encoder_lstm(sd: Dict[str, Any], prefix: str, num_layers: int):
+    """nn.LSTM (single multi-layer module or ModuleList) -> LSTM params."""
+    params: Dict[str, Any] = {}
+    single = f"{prefix}.weight_ih_l0" in sd
+    for k in range(num_layers):
+        if single:
+            base = prefix
+            suffix = f"_l{k}"
+        else:
+            base = f"{prefix}.{k}"
+            suffix = "_l0"
+        params[f"fwd_{k}"] = _lstm_dir(
+            sd,
+            f"{base}.weight_ih{suffix}",
+            f"{base}.weight_hh{suffix}",
+            f"{base}.bias_ih{suffix}",
+            f"{base}.bias_hh{suffix}",
+        )
+        rev = f"{base}.weight_ih{suffix}_reverse"
+        if rev in sd:
+            params[f"bwd_{k}"] = _lstm_dir(
+                sd,
+                f"{base}.weight_ih{suffix}_reverse",
+                f"{base}.weight_hh{suffix}_reverse",
+                f"{base}.bias_ih{suffix}_reverse",
+                f"{base}.bias_hh{suffix}_reverse",
+            )
+    return params
+
+
+def convert_lstm_decoder(sd: Dict[str, Any], prefix: str):
+    """SpeechLSTMDecoder -> our scanned-decoder params."""
+    params: Dict[str, Any] = {
+        "embed_tokens": {"embedding": _t(sd[f"{prefix}.embed_tokens.weight"])}
+    }
+    i = 0
+    while f"{prefix}.layers.{i}.weight_ih" in sd:
+        w_ih = _t(sd[f"{prefix}.layers.{i}.weight_ih"])
+        w_hh = _t(sd[f"{prefix}.layers.{i}.weight_hh"])
+        bias = _t(sd[f"{prefix}.layers.{i}.bias_ih"]) + _t(
+            sd[f"{prefix}.layers.{i}.bias_hh"]
+        )
+        params[f"cell{i}_ih"] = {"kernel": w_ih.T, "bias": bias}
+        params[f"cell{i}_hh"] = {"kernel": w_hh.T}
+        i += 1
+    if f"{prefix}.attention.query_proj.weight" in sd:
+        attn = {
+            "query_proj": {
+                "kernel": _t(sd[f"{prefix}.attention.query_proj.weight"]).T
+            },
+            "key_proj": {
+                "kernel": _t(sd[f"{prefix}.attention.value_proj.weight"]).T
+            },
+            "v": _t(sd[f"{prefix}.attention.v"]),
+        }
+        if f"{prefix}.attention.g" in sd:
+            attn["g"] = _t(sd[f"{prefix}.attention.g"]).reshape(())
+            attn["b"] = _t(sd[f"{prefix}.attention.b"])
+        params["attention"] = attn
+    if f"{prefix}.additional_fc.weight" in sd:
+        params["additional_fc"] = {
+            "kernel": _t(sd[f"{prefix}.additional_fc.weight"]).T,
+            "bias": _t(sd[f"{prefix}.additional_fc.bias"]),
+        }
+    if f"{prefix}.fc_out.weight" in sd:
+        params["fc_out"] = {
+            "kernel": _t(sd[f"{prefix}.fc_out.weight"]).T,
+            "bias": _t(sd[f"{prefix}.fc_out.bias"]),
+        }
+    return params
+
+
+def convert_speech_lstm(sd: Dict[str, Any], num_encoder_layers: int):
+    """Full speech_lstm model state dict -> (params, batch_stats)."""
+    conv_params, conv_stats = convert_conv_frontend(sd, "encoder.pre_encoder")
+    enc_lstm = convert_encoder_lstm(sd, "encoder.lstm", num_encoder_layers)
+    params = {
+        "encoder": {"conv": conv_params, "lstm": enc_lstm},
+        "decoder": convert_lstm_decoder(sd, "decoder"),
+    }
+    batch_stats = {"encoder": {"conv": conv_stats}} if conv_stats else {}
+    return params, batch_stats
+
+
+def convert_lstm_lm(sd: Dict[str, Any]):
+    return {"decoder": convert_lstm_decoder(sd, "decoder")}, {}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="espresso .pt checkpoint")
+    p.add_argument("--arch", required=True, choices=["speech_lstm", "lstm_lm"])
+    p.add_argument("--num-encoder-layers", type=int, default=3)
+    p.add_argument("--output", required=True, help="output checkpoint dir")
+    args = p.parse_args(argv)
+
+    import torch
+
+    blob = torch.load(args.input, map_location="cpu", weights_only=False)
+    sd = blob.get("model", blob)
+    if args.arch == "speech_lstm":
+        params, batch_stats = convert_speech_lstm(sd, args.num_encoder_layers)
+    else:
+        params, batch_stats = convert_lstm_lm(sd)
+
+    import orbax.checkpoint as ocp
+
+    out = os.path.abspath(args.output)
+    state = {
+        "step": np.zeros((), np.int32),
+        "params": params,
+        "batch_stats": batch_stats,
+        "opt_state": {},
+        "ema_params": None,
+        "overflow_count": np.zeros((), np.int32),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(out, "checkpoint_last", "state"), state)
+    with open(os.path.join(out, "checkpoint_last", "host_state.json"), "w") as f:
+        json.dump({}, f)
+    logger.info("converted %s -> %s", args.input, args.output)
+
+
+if __name__ == "__main__":
+    main()
