@@ -44,9 +44,22 @@ class BeamSearchDecoder:
         lm=None,
         lm_weight: float = 0.0,
         lm_variables=None,
+        sampling: bool = False,
+        sampling_topk: int = -1,
+        sampling_topp: float = -1.0,
+        seed: int = 0,
     ):
-        self.model = model
-        self.adapter = make_adapter(model)
+        # model ensembles average probabilities per step (reference
+        # EnsembleModel, sequence_generator.py): pass a list of models and a
+        # matching list of variables to decode()
+        self.models = model if isinstance(model, (list, tuple)) else [model]
+        self.model = self.models[0]
+        self.adapters = [make_adapter(m) for m in self.models]
+        self.adapter = self.adapters[0]
+        self.sampling = sampling
+        self.sampling_topk = sampling_topk
+        self.sampling_topp = sampling_topp
+        self.seed = seed
         self.dict = dictionary
         self.beam = beam_size
         self.max_len_a = max_len_a
@@ -79,14 +92,23 @@ class BeamSearchDecoder:
         lm_adapter = self.lm_adapter
         lm_weight = self.lm_weight
 
-        def run(variables, lm_variables, src_frames, src_lengths):
+        adapters = self.adapters
+        sampling = self.sampling
+        topk_k = self.sampling_topk
+        topp = self.sampling_topp
+        seed = self.seed
+
+        def run(variables_list, lm_variables, src_frames, src_lengths):
             B = src_frames.shape[0]
             BK = B * K
-            enc = self.model.apply(
-                variables, src_frames, src_lengths, method="encode"
-            )
-            enc_rep = repeat_encoder_out(enc, K)
-            state = adapter.init_state(variables, enc_rep, BK, max_len)
+            encs, states = [], []
+            for mdl, adp, mvars in zip(self.models, adapters, variables_list):
+                enc_i = mdl.apply(mvars, src_frames, src_lengths, method="encode")
+                enc_rep_i = repeat_encoder_out(enc_i, K)
+                encs.append(enc_rep_i)
+                states.append(adp.init_state(mvars, enc_rep_i, BK, max_len))
+            enc_rep = encs[0]
+            state = tuple(states)
             lm_state = (
                 lm_adapter.init_state(lm_variables, None, BK, max_len)
                 if lm_adapter is not None
@@ -118,12 +140,26 @@ class BeamSearchDecoder:
                 cur_tok = jax.lax.dynamic_slice_in_dim(
                     tokens.reshape(BK, -1), step, 1, axis=1
                 )[:, 0]
-                logits, state, _ = adapter.step(
-                    variables, cur_tok, state, enc_rep, step
-                )
-                lprobs = jax.nn.log_softmax(
-                    logits.astype(jnp.float32) / temp, axis=-1
-                )
+                new_states = []
+                per_model_lp = []
+                for adp, mvars, enc_i, st_i in zip(
+                    adapters, variables_list, encs, state
+                ):
+                    logits, st_i, _ = adp.step(mvars, cur_tok, st_i, enc_i, step)
+                    per_model_lp.append(
+                        jax.nn.log_softmax(
+                            logits.astype(jnp.float32) / temp, axis=-1
+                        )
+                    )
+                    new_states.append(st_i)
+                state = tuple(new_states)
+                if len(per_model_lp) == 1:
+                    lprobs = per_model_lp[0]
+                else:
+                    # probability-space average (reference EnsembleModel)
+                    lprobs = jax.nn.logsumexp(
+                        jnp.stack(per_model_lp), axis=0
+                    ) - jnp.log(float(len(per_model_lp)))
                 if lm_adapter is not None and lm_weight != 0.0:
                     lm_out, lm_state, _ = lm_adapter.step(
                         lm_variables, cur_tok, lm_state
@@ -163,11 +199,40 @@ class BeamSearchDecoder:
                     )
 
                 V = lprobs.shape[-1]
-                cand = scores.reshape(BK, 1) + lprobs  # [BK, V]
-                cand = cand.reshape(B, K * V)
-                top_scores, top_idx = jax.lax.top_k(cand, 2 * K)
-                beam_idx = top_idx // V  # [B, 2K]
-                tok_idx = (top_idx % V).astype(jnp.int32)
+                if sampling:
+                    # independent per-beam ancestral sampling (reference
+                    # search.py Sampling:621 with top-k/top-p truncation)
+                    lp = lprobs
+                    if topk_k > 0:
+                        kth = jnp.sort(lp, axis=-1)[:, -topk_k][:, None]
+                        lp = jnp.where(lp >= kth, lp, NEG_INF)
+                    if topp > 0:
+                        srt = jnp.sort(lp, axis=-1)[:, ::-1]
+                        cdf = jnp.cumsum(jax.nn.softmax(srt, -1), axis=-1)
+                        cutoff_idx = jnp.argmax(cdf >= topp, axis=-1)
+                        kth = jnp.take_along_axis(
+                            srt, cutoff_idx[:, None], axis=1
+                        )
+                        lp = jnp.where(lp >= kth, lp, NEG_INF)
+                    skey = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+                    sampled = jax.random.categorical(skey, lp, axis=-1)
+                    samp_lp = jnp.take_along_axis(
+                        lprobs, sampled[:, None], axis=1
+                    )[:, 0]
+                    tok_idx = sampled.reshape(B, K).astype(jnp.int32)
+                    top_scores = scores + samp_lp.reshape(B, K)
+                    beam_idx = jnp.broadcast_to(jnp.arange(K)[None], (B, K))
+                    # pad to 2K with dead slots to reuse the finalize path
+                    pad_scores = jnp.full((B, K), NEG_INF)
+                    top_scores = jnp.concatenate([top_scores, pad_scores], 1)
+                    tok_idx = jnp.concatenate([tok_idx, tok_idx], axis=1)
+                    beam_idx = jnp.concatenate([beam_idx, beam_idx], axis=1)
+                else:
+                    cand = scores.reshape(BK, 1) + lprobs  # [BK, V]
+                    cand = cand.reshape(B, K * V)
+                    top_scores, top_idx = jax.lax.top_k(cand, 2 * K)
+                    beam_idx = top_idx // V  # [B, 2K]
+                    tok_idx = (top_idx % V).astype(jnp.int32)
 
                 is_eos = tok_idx == eos
                 # --- finalize eos candidates ------------------------------
@@ -217,7 +282,10 @@ class BeamSearchDecoder:
                 tokens = jax.lax.dynamic_update_slice_in_dim(
                     tokens, sel_tok[:, :, None], step + 1, axis=2
                 )
-                state = adapter.reorder(state, flat_sel)
+                state = tuple(
+                    adp.reorder(st_i, flat_sel)
+                    for adp, st_i in zip(adapters, state)
+                )
                 if lm_state is not None:
                     lm_state = lm_adapter.reorder(lm_state, flat_sel)
                 return (
@@ -278,8 +346,11 @@ class BeamSearchDecoder:
         key = (src_frames.shape, max_len)
         if key not in self._jitted:
             self._jitted[key] = self._search_fn(max_len)
+        variables_list = (
+            variables if isinstance(variables, (list, tuple)) else [variables]
+        )
         fin_tokens, fin_scores, fin_raw, fin_lens = self._jitted[key](
-            variables, self.lm_variables, src_frames, src_lengths
+            variables_list, self.lm_variables, src_frames, src_lengths
         )
         fin_tokens = np.asarray(fin_tokens)
         fin_scores = np.asarray(fin_scores)
