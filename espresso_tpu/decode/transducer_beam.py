@@ -92,7 +92,10 @@ class TransducerBeamSearchDecoder:
             BK = B * K
             enc = model.apply(variables, src_frames, src_lengths, method="encode")
             # hypothesis state (flattened [B*K] where it matters)
-            carry0 = model.apply(variables, BK, method="init_pred_carry")
+            pdtype = jax.tree_util.tree_leaves(variables)[0].dtype
+            carry0 = model.apply(
+                variables, BK, pdtype, method="init_pred_carry"
+            )
             feat0, carry0 = model.apply(
                 variables,
                 jnp.full((BK,), blank, jnp.int32),

@@ -40,7 +40,10 @@ class TransducerGreedyDecoder:
         def run(variables, src_frames, src_lengths):
             B = src_frames.shape[0]
             enc = model.apply(variables, src_frames, src_lengths, method="encode")
-            carry0 = model.apply(variables, B, method="init_pred_carry")
+            pdtype = jax.tree_util.tree_leaves(variables)[0].dtype
+            carry0 = model.apply(
+                variables, B, pdtype, method="init_pred_carry"
+            )
             # prediction feature for the initial (blank-history) state: feed
             # blank once (the reference starts from bos/blank history)
             feat0, carry0 = model.apply(
