@@ -12,11 +12,11 @@ TPU re-design (replaces the reference's per-utterance Python loop
 every utterance and every hypothesis advances in lockstep inside one
 ``lax.scan`` over frames with a statically unrolled expansion loop;
 hypothesis state is fixed-shape arrays (tokens [B,K,L], scores [B,K],
-prediction-net carries) and all selection is topk + gather. Duplicate
-hypotheses in the next-frame pool are merged by logaddexp on a cheap
-hash of the token sequence (the reference's prefix merge handles the
-equal-sequence case; true prefix-extension merging is approximated by
-the expansion rounds themselves).
+prediction-net carries) and all selection is topk + gather. Identical
+token sequences in the next-frame pool are merged exactly: a rolling
+sequence hash rides the hypothesis state and equal-hash candidates
+logaddexp their scores (the reference prefix merge's equal-sequence
+case; prefix-extension merging is covered by the expansion rounds).
 
 Optional shallow LM fusion with blank-less index shifting is applied on
 label expansions only (reference transducer_base_decoder.py:85-104).
@@ -118,13 +118,22 @@ class TransducerBeamSearchDecoder:
                 lm_state0 = None
             tokens0 = jnp.zeros((B, K, L_max), jnp.int32)
             lens0 = jnp.zeros((B, K), jnp.int32)
+            hash0 = jnp.zeros((B, K), jnp.int32)  # rolling sequence hash
             # beam 0 live, others dead
             scores0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones(
                 (B, 1)
             )
 
             def frame_step(carry, t):
-                tokens, lens, scores, pred_feat, pred_carry, lm_state = carry
+                (
+                    tokens,
+                    lens,
+                    scores,
+                    hashes,
+                    pred_feat,
+                    pred_carry,
+                    lm_state,
+                ) = carry
                 enc_t = jnp.repeat(enc.encoder_out[:, t], K, axis=0)  # [BK, D]
                 active_t = (t < enc.src_lengths)  # [B]
 
@@ -132,11 +141,13 @@ class TransducerBeamSearchDecoder:
                 pool_scores = jnp.full((B, K), NEG_INF)
                 pool_tokens = tokens
                 pool_lens = lens
+                pool_hash = hashes
                 pool_feat = pred_feat
                 pool_carry = pred_carry
                 pool_lm = lm_state
 
                 exp_tokens, exp_lens, exp_scores = tokens, lens, scores
+                exp_hash = hashes
                 exp_feat, exp_carry, exp_lm = pred_feat, pred_carry, lm_state
 
                 for j in range(n_exp):
@@ -153,6 +164,21 @@ class TransducerBeamSearchDecoder:
                     merged_scores = jnp.concatenate(
                         [pool_scores, blank_scores], axis=1
                     )  # [B, 2K]
+                    # exact duplicate merge (the reference prefix merge's
+                    # equal-sequence case): identical token sequences share a
+                    # rolling hash -> logaddexp their probabilities, keep the
+                    # first occurrence
+                    merged_hash = jnp.concatenate([pool_hash, exp_hash], axis=1)
+                    slot_ids = jnp.arange(2 * K)[None, :]
+                    live = merged_scores > NEG_INF / 2
+                    eff_hash = jnp.where(live, merged_hash, -(slot_ids + 1))
+                    eq = eff_hash[:, :, None] == eff_hash[:, None, :]
+                    comb = jax.nn.logsumexp(
+                        jnp.where(eq, merged_scores[:, None, :], NEG_INF),
+                        axis=2,
+                    )
+                    first = jnp.argmax(eq, axis=2) == slot_ids
+                    merged_scores = jnp.where(first, comb, NEG_INF)
                     merged_idx = jnp.concatenate(
                         [
                             jnp.arange(K)[None, :].repeat(B, 0),  # pool slot
@@ -180,6 +206,11 @@ class TransducerBeamSearchDecoder:
                         jnp.take_along_axis(pool_lens, src_slot, axis=1),
                         jnp.take_along_axis(exp_lens, src_slot, axis=1),
                     )
+                    new_pool_hash = jnp.where(
+                        from_pool,
+                        jnp.take_along_axis(pool_hash, src_slot, axis=1),
+                        jnp.take_along_axis(exp_hash, src_slot, axis=1),
+                    )
                     flat_src = (bidx * K + src_slot).reshape(-1)
 
                     def sel_state(pool_x, exp_x):
@@ -202,6 +233,7 @@ class TransducerBeamSearchDecoder:
                     pool_scores = top_pool
                     pool_tokens = new_pool_tokens
                     pool_lens = new_pool_lens
+                    pool_hash = new_pool_hash
 
                     if j == n_exp - 1:
                         break
@@ -238,6 +270,10 @@ class TransducerBeamSearchDecoder:
                     exp_tokens = jnp.take(
                         exp_tokens.reshape(BK, -1), flat_beam, axis=0
                     ).reshape(B, K, -1)
+                    exp_hash = jnp.take(
+                        exp_hash.reshape(-1), flat_beam
+                    ).reshape(B, K)
+                    exp_hash = exp_hash * jnp.int32(31) + (new_tok + 1)
                     exp_lens_g = jnp.take(
                         exp_lens.reshape(-1), flat_beam
                     ).reshape(B, K)
@@ -296,6 +332,7 @@ class TransducerBeamSearchDecoder:
                 tokens = jnp.where(keep_old[:, None, None], tokens, pool_tokens)
                 lens = jnp.where(keep_old[:, None], lens, pool_lens)
                 scores = jnp.where(keep_old[:, None], scores, pool_scores)
+                hashes = jnp.where(keep_old[:, None], hashes, pool_hash)
 
                 def keep_state(old, new):
                     def pick(o, nw):
@@ -311,11 +348,19 @@ class TransducerBeamSearchDecoder:
                 pred_carry = keep_state(pred_carry, pool_carry)
                 if lm_state is not None:
                     lm_state = keep_state(lm_state, pool_lm)
-                return (tokens, lens, scores, pred_feat, pred_carry, lm_state), None
+                return (
+                    tokens,
+                    lens,
+                    scores,
+                    hashes,
+                    pred_feat,
+                    pred_carry,
+                    lm_state,
+                ), None
 
-            init = (tokens0, lens0, scores0, feat0, carry0, lm_state0)
+            init = (tokens0, lens0, scores0, hash0, feat0, carry0, lm_state0)
             T_enc = enc.encoder_out.shape[1]
-            (tokens, lens, scores, _, _, _), _ = jax.lax.scan(
+            (tokens, lens, scores, _, _, _, _), _ = jax.lax.scan(
                 frame_step, init, jnp.arange(T_enc)
             )
             order = jnp.argsort(-scores, axis=1)
