@@ -124,6 +124,10 @@ class TransducerBeamSearchDecoder:
                 (B, 1)
             )
 
+            enc_proj = model.apply(
+                variables, enc.encoder_out, method="joint_enc_proj"
+            )
+
             def frame_step(carry, t):
                 (
                     tokens,
@@ -134,7 +138,7 @@ class TransducerBeamSearchDecoder:
                     pred_carry,
                     lm_state,
                 ) = carry
-                enc_t = jnp.repeat(enc.encoder_out[:, t], K, axis=0)  # [BK, D]
+                enc_t = jnp.repeat(enc_proj[:, t], K, axis=0)  # [BK, J]
                 active_t = (t < enc.src_lengths)  # [B]
 
                 # pool of next-frame (blank-terminated) hyps
@@ -152,7 +156,8 @@ class TransducerBeamSearchDecoder:
 
                 for j in range(n_exp):
                     logits = model.apply(
-                        variables, enc_t, exp_feat, method="joint_step"
+                        variables, enc_t, exp_feat,
+                        method="joint_step_precomputed",
                     )  # [BK, V]
                     lprobs = jax.nn.log_softmax(
                         logits.astype(jnp.float32), axis=-1

@@ -58,13 +58,14 @@ class TransducerGreedyDecoder:
 
             def frame_step(carry, t):
                 pred_carry, pred_feat, out_buf, out_len, score = carry
-                enc_t = enc.encoder_out[:, t]
+                enc_t = enc_proj[:, t]
                 active_t = t < enc.src_lengths
 
                 expanding = active_t
                 for _ in range(n_exp):
                     logits = model.apply(
-                        variables, enc_t, pred_feat, method="joint_step"
+                        variables, enc_t, pred_feat,
+                        method="joint_step_precomputed",
                     )
                     lprobs = jax.nn.log_softmax(
                         logits.astype(jnp.float32), axis=-1
@@ -98,6 +99,10 @@ class TransducerGreedyDecoder:
                     expanding = emit
                 return (pred_carry, pred_feat, out_buf, out_len, score), None
 
+            # precompute the joint's encoder projection for all frames
+            enc_proj = model.apply(
+                variables, enc.encoder_out, method="joint_enc_proj"
+            )
             # scan exactly the subsampled encoder frames (static under jit)
             T_enc = enc.encoder_out.shape[1]
             carry, _ = jax.lax.scan(

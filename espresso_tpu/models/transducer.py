@@ -82,6 +82,17 @@ class JointNetwork(nn.Module):
         d = self.ln_dec(self.proj_dec(dec))
         return self.fc_out(nn.relu(e + d))
 
+    def enc_proj(self, enc: jnp.ndarray) -> jnp.ndarray:
+        """Encoder-side projection, precomputable for all frames at once
+        (decode fast path: the per-frame joint then only runs the dec side)."""
+        return self.ln_enc(self.proj_enc(enc))
+
+    def pairwise_precomputed(
+        self, enc_projected: jnp.ndarray, dec: jnp.ndarray
+    ) -> jnp.ndarray:
+        d = self.ln_dec(self.proj_dec(dec))
+        return self.fc_out(nn.relu(enc_projected + d))
+
 
 @MODELS.register("speech_transformer_transducer", config=TransducerConfig)
 class TransducerModel(nn.Module):
@@ -158,6 +169,16 @@ class TransducerModel(nn.Module):
     def joint_step(self, enc_frame: jnp.ndarray, pred_feat: jnp.ndarray):
         """Joint on matched pairs: [B, D_e] x [B, H] -> [B, V] logits."""
         return self.joint.pairwise(enc_frame, pred_feat)
+
+    def joint_enc_proj(self, enc_out: jnp.ndarray) -> jnp.ndarray:
+        """Precompute the joint's encoder projection: [B, T, D_e] -> [B, T, J]."""
+        return self.joint.enc_proj(enc_out)
+
+    def joint_step_precomputed(
+        self, enc_projected: jnp.ndarray, pred_feat: jnp.ndarray
+    ):
+        """Joint with precomputed encoder side: [B, J] x [B, H] -> [B, V]."""
+        return self.joint.pairwise_precomputed(enc_projected, pred_feat)
 
 
 @register_architecture(
