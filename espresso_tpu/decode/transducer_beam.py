@@ -73,20 +73,6 @@ class TransducerBeamSearchDecoder:
         gamma = self.expansion_gamma
         lm_adapter, lm_weight = self.lm_adapter, self.lm_weight
 
-        def gather_k(tree, idx_bk):
-            """Gather hypothesis-indexed leaves. idx_bk: [B, K'] indices into
-            the flattened B*K hypothesis axis."""
-            flat = idx_bk.reshape(-1)
-
-            def g(x):
-                if x.ndim >= 3 and x.shape[1] != idx_bk.shape[0] * K:
-                    # predictor carry h/c: [L, B*K, H] — hyp axis is 1
-                    out = jnp.take(x, flat, axis=1)
-                    return out
-                return jnp.take(x, flat, axis=0)
-
-            return jax.tree_util.tree_map(g, tree)
-
         def run(variables, lm_variables, src_frames, src_lengths):
             B = src_frames.shape[0]
             BK = B * K

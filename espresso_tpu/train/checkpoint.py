@@ -96,6 +96,24 @@ class CheckpointManager:
                 _ckpt_path(self.save_dir, "checkpoint_best"), state, host_state
             )
             saved.append("checkpoint_best")
+        if val_metric is not None and cfg.keep_best_checkpoints > 0:
+            # keep the N best metric-named checkpoints
+            # (reference checkpoint.best_{metric}_{value} naming, :35-186)
+            name = f"checkpoint_best_{val_metric:.4f}_{epoch}"
+            save_checkpoint_state(
+                _ckpt_path(self.save_dir, name), state, host_state
+            )
+            saved.append(name)
+            best_ckpts = []
+            for entry in os.listdir(self.save_dir):
+                m = re.fullmatch(r"checkpoint_best_([\d.eE+-]+)_(\d+)", entry)
+                if m:
+                    best_ckpts.append((float(m.group(1)), entry))
+            best_ckpts.sort(key=lambda t: t[0], reverse=self.maximize_best)
+            for _, entry in best_ckpts[cfg.keep_best_checkpoints :]:
+                shutil.rmtree(
+                    _ckpt_path(self.save_dir, entry), ignore_errors=True
+                )
         if end_of_epoch and cfg.save_interval > 0 and epoch % cfg.save_interval == 0:
             name = f"checkpoint{epoch}"
             save_checkpoint_state(

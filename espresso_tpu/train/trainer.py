@@ -20,7 +20,6 @@ State lives in a ``TrainState`` pytree sharded per the mesh rules
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax

@@ -128,3 +128,43 @@ def test_token_text_preference(tmp_path):
     ds = AsrDataset(load_manifest(d, "train"), dic, feat_dim=8)
     expected = [dic.index("a"), dic.index("b"), dic.space(), dic.eos()]
     assert ds.targets[0].tolist() == expected
+
+
+def test_chunk_streaming_mask_reachability():
+    from espresso_tpu.ops.masking import NEG_INF, chunk_streaming_mask
+
+    m = np.asarray(chunk_streaming_mask(8, chunk_size=3, left_window=1, right_window=0))
+    # position 4 (chunk 1 = frames 3..5) may see chunks 0 and 1 = frames 0..5
+    assert (m[4, :6] == 0).all()
+    assert (m[4, 6:] <= NEG_INF / 2).all()
+    # position 0 (chunk 0) sees only frames 0..2
+    assert (m[0, :3] == 0).all() and (m[0, 3:] <= NEG_INF / 2).all()
+    # right window
+    m2 = np.asarray(chunk_streaming_mask(8, chunk_size=3, left_window=0, right_window=1))
+    assert (m2[0, :6] == 0).all() and (m2[0, 6:] <= NEG_INF / 2).all()
+
+
+def test_keep_best_checkpoints(tmp_path):
+    import jax.numpy as jnp
+
+    from espresso_tpu.config import EspressoConfig
+    from espresso_tpu.train.checkpoint import CheckpointManager
+
+    cfg = EspressoConfig()
+    cfg.checkpoint.save_dir = str(tmp_path)
+    cfg.checkpoint.keep_best_checkpoints = 2
+    cfg.checkpoint.save_interval = 0  # no epoch ckpts
+    mgr = CheckpointManager(cfg)
+    state = {"params": {"w": jnp.zeros(3)}}
+    for epoch, metric in enumerate([5.0, 3.0, 4.0, 2.0], start=1):
+        mgr.save_epoch(state, {}, epoch, val_metric=metric)
+    import os
+    import re
+
+    kept = sorted(
+        n for n in os.listdir(str(tmp_path)) if re.match(r"checkpoint_best_\d", n)
+    )
+    # two lowest metrics kept: 2.0 (epoch 4) and 3.0 (epoch 2)
+    assert len(kept) == 2
+    assert any("2.0000_4" in n for n in kept)
+    assert any("3.0000_2" in n for n in kept)
