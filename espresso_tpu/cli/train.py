@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import logging
+import os
 import sys
 import time
 from typing import Any, Dict, Optional
@@ -257,6 +258,71 @@ def main(argv=None) -> Dict[str, float]:
     num_updates = int(state.step)
     final_stats: Dict[str, float] = {}
 
+    try:
+        state, num_updates, final_stats = _train_loop(
+            cfg,
+            task,
+            model,
+            criterion,
+            train_itr,
+            train_ds,
+            valid_ds,
+            state,
+            rng,
+            train_step,
+            valid_step,
+            schedule,
+            ckpt_mgr,
+            plateau,
+            ss_scheduler,
+            bsharding,
+            progress,
+            max_epoch,
+            max_update,
+            patience_left,
+            num_updates,
+        )
+    except Exception:
+        # crash checkpoint (reference trainer.py:858-863 crash.pt)
+        if not cfg.checkpoint.no_save:
+            from espresso_tpu.train.checkpoint import save_checkpoint_state
+
+            save_checkpoint_state(
+                os.path.join(cfg.checkpoint.save_dir, "checkpoint_crash"),
+                state,
+                {"iterator": train_itr.state_dict()},
+            )
+            logger.error("exception — saved checkpoint_crash")
+        raise
+
+    logger.info("done training at %d updates", num_updates)
+    return final_stats
+
+
+def _train_loop(
+    cfg,
+    task,
+    model,
+    criterion,
+    train_itr,
+    train_ds,
+    valid_ds,
+    state,
+    rng,
+    train_step,
+    valid_step,
+    schedule,
+    ckpt_mgr,
+    plateau,
+    ss_scheduler,
+    bsharding,
+    progress,
+    max_epoch,
+    max_update,
+    patience_left,
+    num_updates,
+):
+    final_stats: Dict[str, float] = {}
     while train_itr.next_epoch_idx <= max_epoch and num_updates < max_update:
         epoch = train_itr.next_epoch_idx
         epoch_itr = train_itr.next_epoch_itr()
@@ -338,6 +404,12 @@ def main(argv=None) -> Dict[str, float]:
         if plateau is not None:
             host_state["plateau"] = plateau.state_dict()
         ckpt_mgr.save_epoch(state, host_state, epoch, val_metric=val_metric)
+
+        # hybrid: update the HMM state prior from model posteriors
+        # (reference update_state_prior, speech_recognition_hybrid.py:594)
+        if hasattr(task, "update_state_prior") and len(valid_itr_epoch) >= 0:
+            _update_hybrid_state_prior(cfg, task, model, state, valid_ds)
+
         if cfg.checkpoint.patience > 0:
             patience_left = cfg.checkpoint.patience if improved else patience_left - 1
             if patience_left <= 0:
@@ -346,8 +418,35 @@ def main(argv=None) -> Dict[str, float]:
                 )
                 break
 
-    logger.info("done training at %d updates", num_updates)
-    return final_stats
+    return state, num_updates, final_stats
+
+
+def _update_hybrid_state_prior(cfg, task, model, state, valid_ds):
+    specs = valid_ds.make_batch_specs(
+        max_tokens=cfg.dataset.max_tokens,
+        max_sentences=cfg.dataset.batch_size,
+        shuffle=False,
+    )
+    batch = valid_ds.collate(specs[0])
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    logits, enc = model.apply(
+        variables,
+        jnp.asarray(batch["src_frames"]),
+        jnp.asarray(batch["src_lengths"]),
+    )
+    post = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    T = post.shape[1]
+    mask = (jnp.arange(T)[None, :] < enc.src_lengths[:, None])[..., None]
+    avg = np.asarray(
+        (post * mask).sum(axis=(0, 1)) / jnp.maximum(mask.sum(), 1)
+    )
+    task.update_state_prior(avg)
+    np.save(
+        os.path.join(cfg.checkpoint.save_dir, "state_prior.npy"),
+        np.asarray(task.state_prior, np.float32),
+    )
 
 
 if __name__ == "__main__":

@@ -140,7 +140,9 @@ class TransducerBeamSearchDecoder:
                 exp_hash = hashes
                 exp_feat, exp_carry, exp_lm = pred_feat, pred_carry, lm_state
 
-                for j in range(n_exp):
+                # n_exp LABEL expansions per frame (reference semantics),
+                # plus a blank-merge after each round (n_exp + 1 merges)
+                for j in range(n_exp + 1):
                     logits = model.apply(
                         variables, enc_t, exp_feat,
                         method="joint_step_precomputed",
@@ -226,7 +228,7 @@ class TransducerBeamSearchDecoder:
                     pool_lens = new_pool_lens
                     pool_hash = new_pool_hash
 
-                    if j == n_exp - 1:
+                    if j == n_exp:
                         break
 
                     # ---- label expansion -----------------------------------
