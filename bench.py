@@ -30,7 +30,7 @@ def main():
 
     VOCAB = 1024  # BPE-size vocab (reference librispeech recipe)
     FEAT_DIM = 80
-    B = 128  # throughput-oriented batch decode
+    B = 256  # throughput-oriented batch decode
     T = 624  # 6.24 s per utterance at 10 ms frames
     FRAME_SHIFT_S = 0.01
 
