@@ -205,6 +205,9 @@ class CriterionSection:
     zero_infinity: bool = True
     # transducer
     include_eos_in_transducer_loss: bool = False
+    # lattice-free fused RNNT loss (ops/rnnt_fused); False = materialize the
+    # B×T×U×V lattice (reference torchaudio semantics, more memory)
+    fused_transducer: bool = True
     # lf_mmi (chain): denominator graph in ops/chain.py npz format
     denominator_graph_path: Optional[str] = None
 

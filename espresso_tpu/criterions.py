@@ -183,8 +183,11 @@ class TransducerCriterion:
         self.task = task
         self.pad = task.dictionary.pad()
         self.blank = task.dictionary.blank()
+        self.fused = getattr(cfg, "fused_transducer", True)
 
     def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+        if self.fused and hasattr(model, "forward_fused"):
+            return self._fused(model, variables, batch, rngs, train)
         lattice, enc, updates = _apply_model(model, variables, batch, rngs, train)
         # lattice [B, T, U+1, V]: prev_output_tokens has length U+1 (eos-led)
         losses = rnnt_loss_fn(
@@ -193,6 +196,46 @@ class TransducerCriterion:
             enc.src_lengths,
             jnp.minimum(batch["tgt_lengths"], lattice.shape[2] - 1),
             blank=self.blank,
+        )
+        loss = (losses * batch["weight"]).sum()
+        nsentences = jnp.maximum(batch["weight"].sum(), 1)
+        logging = {"loss": loss, "nsentences": nsentences}
+        return loss, nsentences, logging, updates
+
+    def _fused(self, model, variables, batch, rngs, train):
+        """Lattice-free path (ops/rnnt_fused): peak memory O(B·U·V) per frame
+        instead of the B×T×U×V lattice."""
+        from espresso_tpu.ops.rnnt_fused import rnnt_loss_fused
+
+        mutable = (
+            ["batch_stats"] if (train and "batch_stats" in variables) else False
+        )
+        out = model.apply(
+            variables,
+            batch["src_frames"],
+            batch["src_lengths"],
+            batch["prev_output_tokens"],
+            train=train,
+            rngs=rngs,
+            mutable=mutable,
+            method="forward_fused",
+        )
+        if mutable:
+            (enc_proj, dec_proj, enc), updates = out
+        else:
+            enc_proj, dec_proj, enc = out
+            updates = {}
+        fc = variables["params"]["joint"]["fc_out"]
+        U1 = dec_proj.shape[1]
+        losses = rnnt_loss_fused(
+            enc_proj,
+            dec_proj,
+            fc["kernel"],
+            fc["bias"],
+            batch["target"][:, : U1 - 1],
+            enc.src_lengths,
+            jnp.minimum(batch["tgt_lengths"], U1 - 1),
+            self.blank,
         )
         loss = (losses * batch["weight"]).sum()
         nsentences = jnp.maximum(batch["weight"].sum(), 1)

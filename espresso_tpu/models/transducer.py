@@ -87,6 +87,10 @@ class JointNetwork(nn.Module):
         (decode fast path: the per-frame joint then only runs the dec side)."""
         return self.ln_enc(self.proj_enc(enc))
 
+    def dec_proj(self, dec: jnp.ndarray) -> jnp.ndarray:
+        """Prediction-side projection (fused lattice-free loss path)."""
+        return self.ln_dec(self.proj_dec(dec))
+
     def pairwise_precomputed(
         self, enc_projected: jnp.ndarray, dec: jnp.ndarray
     ) -> jnp.ndarray:
@@ -173,6 +177,24 @@ class TransducerModel(nn.Module):
     def joint_enc_proj(self, enc_out: jnp.ndarray) -> jnp.ndarray:
         """Precompute the joint's encoder projection: [B, T, D_e] -> [B, T, J]."""
         return self.joint.enc_proj(enc_out)
+
+    def forward_fused(
+        self,
+        src_frames: jnp.ndarray,
+        src_lengths: jnp.ndarray,
+        prev_output_tokens: jnp.ndarray,
+        train: bool = False,
+    ):
+        """Lattice-free training forward: returns (enc_proj [B,T,J],
+        dec_proj [B,U+1,J], encoder_out) for ops/rnnt_fused.rnnt_loss_fused —
+        the B×T×U×V joint lattice is never materialized."""
+        enc = self.encoder(src_frames, src_lengths, train=train)
+        pred = self.predict_sequence(prev_output_tokens, train=train)
+        return (
+            self.joint.enc_proj(enc.encoder_out),
+            self.joint.dec_proj(pred),
+            enc,
+        )
 
     def joint_step_precomputed(
         self, enc_projected: jnp.ndarray, pred_feat: jnp.ndarray
