@@ -205,9 +205,11 @@ class CriterionSection:
     zero_infinity: bool = True
     # transducer
     include_eos_in_transducer_loss: bool = False
-    # lattice-free fused RNNT loss (ops/rnnt_fused); False = materialize the
-    # B×T×U×V lattice (reference torchaudio semantics, more memory)
-    fused_transducer: bool = True
+    # lattice-free fused RNNT loss (ops/rnnt_fused): bounded memory but a
+    # sequential frame scan — use when the B×T×U×V lattice doesn't fit.
+    # Default False: the materialized lattice is one big MXU matmul and is
+    # ~7x faster when it fits (measured B=16, T=1024 frames, U=96, V=1024).
+    fused_transducer: bool = False
     # lf_mmi (chain): denominator graph in ops/chain.py npz format
     denominator_graph_path: Optional[str] = None
 
