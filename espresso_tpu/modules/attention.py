@@ -39,6 +39,7 @@ class MultiheadAttention(nn.Module):
         self.k_proj = dense("k_proj")
         self.v_proj = dense("v_proj")
         self.out_proj = dense("out_proj")
+        self.dropout_layer = nn.Dropout(rate=self.dropout)
         if self.use_relative_pos:
             self.pos_proj = nn.Dense(self.embed_dim, use_bias=False, name="pos_proj")
             self.pos_bias_u = self.param(
@@ -142,7 +143,7 @@ class MultiheadAttention(nn.Module):
             )
         weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
         if self.dropout > 0.0 and not deterministic:
-            weights = nn.Dropout(rate=self.dropout)(weights, deterministic=False)
+            weights = self.dropout_layer(weights, deterministic=False)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = self.out_proj(out.reshape(out.shape[0], out.shape[1], self.embed_dim))
         avg_weights = weights.mean(axis=1) if need_weights else None

@@ -239,3 +239,25 @@ def test_architecture_presets():
     assert "conformer_transducer_librispeech" in ARCHITECTURES
     assert "speech_transformer_librispeech" in ARCHITECTURES
     assert "speech_lstm" in MODELS and "speech_transformer_transducer" in MODELS
+
+
+def test_dropout_training_paths():
+    """dropout > 0 must work in all attention-bearing models (regression:
+    MultiheadAttention once created Dropout outside setup)."""
+    frames, lengths, prev = _batch()
+    cfg = small_transformer_cfg(
+        encoder_layer_type="conformer", encoder_pos_type="relative"
+    )
+    cfg.dropout = 0.1
+    model = SpeechTransformerModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), frames, lengths, prev)
+    (logits, _), _ = model.apply(
+        variables,
+        frames,
+        lengths,
+        prev,
+        True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert np.isfinite(np.asarray(logits)).all()
