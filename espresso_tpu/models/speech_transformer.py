@@ -275,6 +275,7 @@ class SpeechTransformerModel(nn.Module):
             for i in range(cfg.decoder_layers)
         ]
         self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.drop_dec = nn.Dropout(rate=cfg.dropout)
         if not cfg.share_decoder_input_output_embed:
             self.fc_out = nn.Dense(cfg.vocab_size, name="fc_out")
 
@@ -302,9 +303,7 @@ class SpeechTransformerModel(nn.Module):
         x = self.embed_tokens(prev_output_tokens) * (cfg.decoder_embed_dim ** 0.5)
         x = x + sinusoidal_positions(U, cfg.decoder_embed_dim)
         if cfg.dropout > 0.0 and train:
-            x = nn.Dropout(rate=cfg.dropout, name="drop_dec")(
-                x, deterministic=False
-            )
+            x = self.drop_dec(x, deterministic=False)
         causal = jnp.where(
             jnp.tril(jnp.ones((U, U), bool)), 0.0, NEG_INF
         ).astype(jnp.float32)
