@@ -200,3 +200,69 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _linear(sd, key):
+    out = {"kernel": _t(sd[f"{key}.weight"]).T}
+    if f"{key}.bias" in sd:
+        out["bias"] = _t(sd[f"{key}.bias"])
+    return out
+
+
+def _layernorm(sd, key):
+    return {"scale": _t(sd[f"{key}.weight"]), "bias": _t(sd[f"{key}.bias"])}
+
+
+def convert_conformer_layer(sd: Dict[str, Any], prefix: str):
+    """fairseq ConformerWithRelativePositionalEmbeddingEncoderLayer ->
+    modules/conformer.ConformerEncoderLayer params (+ batch stats)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for ffn in ("ffn1", "ffn2"):
+        params[ffn] = {
+            "LayerNorm_0": _layernorm(sd, f"{prefix}.{ffn}.layer_norm"),
+            "Dense_0": _linear(sd, f"{prefix}.{ffn}.w_1"),
+            "Dense_1": _linear(sd, f"{prefix}.{ffn}.w_2"),
+        }
+    params["self_attn_layer_norm"] = _layernorm(sd, f"{prefix}.self_attn_layer_norm")
+    attn = {
+        "q_proj": _linear(sd, f"{prefix}.self_attn.linear_q"),
+        "k_proj": _linear(sd, f"{prefix}.self_attn.linear_k"),
+        "v_proj": _linear(sd, f"{prefix}.self_attn.linear_v"),
+        "out_proj": _linear(sd, f"{prefix}.self_attn.linear_out"),
+    }
+    if f"{prefix}.self_attn.linear_pos.weight" in sd:
+        attn["pos_proj"] = {
+            "kernel": _t(sd[f"{prefix}.self_attn.linear_pos.weight"]).T
+        }
+        attn["pos_bias_u"] = _t(sd[f"{prefix}.self_attn.pos_bias_u"])
+        attn["pos_bias_v"] = _t(sd[f"{prefix}.self_attn.pos_bias_v"])
+    params["self_attn"] = attn
+    cm = f"{prefix}.conv_module"
+    pw1 = _t(sd[f"{cm}.pointwise_conv1.weight"])  # [2C, C, 1]
+    pw2 = _t(sd[f"{cm}.pointwise_conv2.weight"])  # [C, C, 1]
+    dw = _t(sd[f"{cm}.depthwise_conv.weight"])  # [C, 1, k]
+    conv = {
+        "LayerNorm_0": _layernorm(sd, f"{cm}.layer_norm"),
+        "Dense_0": {"kernel": pw1[:, :, 0].T},
+        "Conv_0": {"kernel": dw.transpose(2, 1, 0)},
+        "Dense_1": {"kernel": pw2[:, :, 0].T},
+    }
+    if f"{cm}.pointwise_conv1.bias" in sd:
+        conv["Dense_0"]["bias"] = _t(sd[f"{cm}.pointwise_conv1.bias"])
+        conv["Conv_0"]["bias"] = _t(sd[f"{cm}.depthwise_conv.bias"])
+        conv["Dense_1"]["bias"] = _t(sd[f"{cm}.pointwise_conv2.bias"])
+    if f"{cm}.batch_norm.weight" in sd:
+        conv["BatchNorm_0"] = {
+            "scale": _t(sd[f"{cm}.batch_norm.weight"]),
+            "bias": _t(sd[f"{cm}.batch_norm.bias"]),
+        }
+        stats["conv_module"] = {
+            "BatchNorm_0": {
+                "mean": _t(sd[f"{cm}.batch_norm.running_mean"]),
+                "var": _t(sd[f"{cm}.batch_norm.running_var"]),
+            }
+        }
+    params["conv_module"] = conv
+    params["final_layer_norm"] = _layernorm(sd, f"{prefix}.final_layer_norm")
+    return params, stats

@@ -107,11 +107,12 @@ class SpeechTransformerEncoder(nn.Module):
         )(src_frames, src_lengths, train=train)
         x = nn.Dense(cfg.encoder_embed_dim, name="fc0")(x)  # reference :79
         T = x.shape[1]
+        # embed_scale applies in every positional mode (reference
+        # speech_transformer_encoder.py:344)
+        x = x * (cfg.encoder_embed_dim ** 0.5)
         rel_pos = None
         if cfg.encoder_pos_type == "abs":
-            x = x * (cfg.encoder_embed_dim ** 0.5) + sinusoidal_positions(
-                T, cfg.encoder_embed_dim
-            )
+            x = x + sinusoidal_positions(T, cfg.encoder_embed_dim)
         elif cfg.encoder_pos_type == "relative":
             rel_pos = RelativePositionalEmbedding(
                 cfg.encoder_embed_dim,

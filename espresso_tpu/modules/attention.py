@@ -111,10 +111,10 @@ class MultiheadAttention(nn.Module):
             if Tq == Tk == L:
                 # Transformer-XL relative shift: pad/reshape/slice instead of
                 # a gather (TPU gathers on this pattern are ~10x slower).
-                # table rows are offsets (L-1)..-(L-1); we need
-                # bd[i, j] = bd_full[i, (L-1) + i - j] = y[i, j - i + (L-1)]
-                # with y = flip(bd_full).
-                y = jnp.flip(bd_full, axis=-1)
+                # Table rows are offsets (L-1)..-(L-1); espnet convention
+                # (fairseq/modules/espnet_multihead_attention.py rel_shift):
+                # bd[i, j] = bd_full[i, j - i + (L-1)]  <=> offset (i - j)
+                y = bd_full
                 B_, H_ = y.shape[0], y.shape[1]
                 y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, 1)))
                 y = y.reshape(B_, H_, 2 * L * L)[:, :, : (2 * L - 1) * L]
@@ -123,7 +123,7 @@ class MultiheadAttention(nn.Module):
             else:
                 qi = jnp.arange(Tq)[:, None]
                 kj = jnp.arange(Tk)[None, :]
-                idx = jnp.clip((L - 1) - (kj - qi), 0, bd_full.shape[-1] - 1)
+                idx = jnp.clip((L - 1) + (kj - qi), 0, bd_full.shape[-1] - 1)
                 idx_b = jnp.broadcast_to(
                     idx[None, None], (bd_full.shape[0], bd_full.shape[1], Tq, Tk)
                 )

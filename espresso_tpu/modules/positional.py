@@ -35,9 +35,10 @@ def relative_sinusoidal_positions(
     length: int, dim: int, dtype=jnp.float32
 ) -> jnp.ndarray:
     """[2*length-1, dim] table for relative offsets length-1 .. -(length-1)
-    (Transformer-XL / espnet RelPositionalEncoding layout)."""
+    (espnet RelPositionalEncoding layout and frequencies:
+    freq_k = 10000^(-2k/dim), fairseq/modules/espnet_positional_embedding.py)."""
     half = dim // 2
-    emb_scale = math.log(10000.0) / (half - 1) if half > 1 else 1.0
+    emb_scale = math.log(10000.0) / half if half > 0 else 1.0
     inv_freq = np.exp(np.arange(half, dtype=np.float64) * -emb_scale)
     pos = np.arange(length - 1, -length, -1, dtype=np.float64)[:, None]
     args = pos * inv_freq[None, :]

@@ -204,3 +204,124 @@ def test_decoder_step_parity():
         method="decode_step",
     )
     assert np.abs(np.asarray(logits) - ref_logits).max() < 1e-4
+
+
+def test_conformer_layer_parity():
+    """Full conformer layer (macaron FFN + espnet rel-pos MHSA + conv module)
+    reimplemented in plain torch (reference fairseq/modules/conformer_layer.py
+    + espnet_multihead_attention.py semantics) must match our
+    ConformerEncoderLayer after weight conversion."""
+    torch.manual_seed(3)
+    D, H, FFN, K = 16, 4, 32, 5
+    dk = D // H
+    B, T = 2, 9
+
+    # --- torch modules with reference names ---
+    ffn1_ln = tnn.LayerNorm(D); ffn1_w1 = tnn.Linear(D, FFN); ffn1_w2 = tnn.Linear(FFN, D)
+    ffn2_ln = tnn.LayerNorm(D); ffn2_w1 = tnn.Linear(D, FFN); ffn2_w2 = tnn.Linear(FFN, D)
+    attn_ln = tnn.LayerNorm(D)
+    lq, lk, lv, lo = (tnn.Linear(D, D) for _ in range(4))
+    lpos = tnn.Linear(D, D, bias=False)
+    pos_u = torch.randn(H, dk) * 0.1
+    pos_v = torch.randn(H, dk) * 0.1
+    cm_ln = tnn.LayerNorm(D)
+    pw1 = tnn.Conv1d(D, 2 * D, 1)
+    dw = tnn.Conv1d(D, D, K, padding=(K - 1) // 2, groups=D)
+    bn = tnn.BatchNorm1d(D)
+    bn.running_mean.uniform_(-0.2, 0.2); bn.running_var.uniform_(0.8, 1.2)
+    bn.weight.data.uniform_(0.8, 1.2); bn.bias.data.uniform_(-0.2, 0.2)
+    pw2 = tnn.Conv1d(D, D, 1)
+    final_ln = tnn.LayerNorm(D)
+
+    sd = {}
+    for name, lnm, w1, w2 in (("ffn1", ffn1_ln, ffn1_w1, ffn1_w2), ("ffn2", ffn2_ln, ffn2_w1, ffn2_w2)):
+        sd[f"l.{name}.layer_norm.weight"] = lnm.weight; sd[f"l.{name}.layer_norm.bias"] = lnm.bias
+        sd[f"l.{name}.w_1.weight"] = w1.weight; sd[f"l.{name}.w_1.bias"] = w1.bias
+        sd[f"l.{name}.w_2.weight"] = w2.weight; sd[f"l.{name}.w_2.bias"] = w2.bias
+    sd["l.self_attn_layer_norm.weight"] = attn_ln.weight; sd["l.self_attn_layer_norm.bias"] = attn_ln.bias
+    for nm, m in (("linear_q", lq), ("linear_k", lk), ("linear_v", lv), ("linear_out", lo)):
+        sd[f"l.self_attn.{nm}.weight"] = m.weight; sd[f"l.self_attn.{nm}.bias"] = m.bias
+    sd["l.self_attn.linear_pos.weight"] = lpos.weight
+    sd["l.self_attn.pos_bias_u"] = pos_u; sd["l.self_attn.pos_bias_v"] = pos_v
+    sd["l.conv_module.layer_norm.weight"] = cm_ln.weight; sd["l.conv_module.layer_norm.bias"] = cm_ln.bias
+    sd["l.conv_module.pointwise_conv1.weight"] = pw1.weight; sd["l.conv_module.pointwise_conv1.bias"] = pw1.bias
+    sd["l.conv_module.depthwise_conv.weight"] = dw.weight; sd["l.conv_module.depthwise_conv.bias"] = dw.bias
+    sd["l.conv_module.batch_norm.weight"] = bn.weight; sd["l.conv_module.batch_norm.bias"] = bn.bias
+    sd["l.conv_module.batch_norm.running_mean"] = bn.running_mean
+    sd["l.conv_module.batch_norm.running_var"] = bn.running_var
+    sd["l.conv_module.pointwise_conv2.weight"] = pw2.weight; sd["l.conv_module.pointwise_conv2.bias"] = pw2.bias
+    sd["l.final_layer_norm.weight"] = final_ln.weight; sd["l.final_layer_norm.bias"] = final_ln.bias
+
+    # --- espnet relative positional table (torch, reference convention) ---
+    import math
+    pe_pos = torch.zeros(T, D)
+    pe_neg = torch.zeros(T, D)
+    position = torch.arange(0, T).unsqueeze(1).float()
+    div = torch.exp(torch.arange(0, D, 2).float() * -(math.log(10000.0) / D))
+    pe_pos[:, 0::2] = torch.sin(position * div)
+    pe_pos[:, 1::2] = torch.cos(position * div)
+    pe_neg[:, 0::2] = torch.sin(-1 * position * div)
+    pe_neg[:, 1::2] = torch.cos(-1 * position * div)
+    pe_pos = torch.flip(pe_pos, [0])  # T-1 .. 0
+    pe_neg = pe_neg[1:]  # -1 .. -(T-1)
+    pos_emb = torch.cat([pe_pos, pe_neg], dim=0)  # [2T-1, D]
+
+    x = torch.randn(B, T, D)
+
+    def rel_shift(m):
+        zero_pad = torch.zeros((*m.size()[:3], 1))
+        mp = torch.cat([zero_pad, m], dim=-1)
+        mp = mp.view(*m.size()[:2], m.size(3) + 1, m.size(2))
+        return mp[:, :, 1:].view_as(m)[:, :, :, : m.size(-1) // 2 + 1]
+
+    with torch.no_grad():
+        h = x + 0.5 * ffn2_w2(torch.nn.functional.silu(ffn1_w1(ffn1_ln(x)))) if False else x
+        # macaron ffn1
+        h = x + 0.5 * ffn1_w2(torch.nn.functional.silu(ffn1_w1(ffn1_ln(x))))
+        # espnet rel-pos attention
+        a_in = attn_ln(h)
+        q = lq(a_in).view(B, T, H, dk)
+        k = lk(a_in).view(B, T, H, dk).transpose(1, 2)
+        v = lv(a_in).view(B, T, H, dk).transpose(1, 2)
+        p = lpos(pos_emb).view(1, 2 * T - 1, H, dk).transpose(1, 2)
+        q_u = (q + pos_u).transpose(1, 2)
+        q_v = (q + pos_v).transpose(1, 2)
+        ac = torch.matmul(q_u, k.transpose(-2, -1))
+        bd = rel_shift(torch.matmul(q_v, p.transpose(-2, -1)))
+        scores = (ac + bd) / math.sqrt(dk)
+        attn = torch.softmax(scores, dim=-1)
+        ao = torch.matmul(attn, v).transpose(1, 2).reshape(B, T, D)
+        h = h + lo(ao)
+        # conv module
+        c = cm_ln(h).transpose(1, 2)
+        c = torch.nn.functional.glu(pw1(c), dim=1)
+        c = bn.eval()(dw(c))
+        c = torch.nn.functional.silu(c)
+        c = pw2(c).transpose(1, 2)
+        h = h + c
+        # macaron ffn2 + final LN
+        h = h + 0.5 * ffn2_w2(torch.nn.functional.silu(ffn2_w1(ffn2_ln(h))))
+        ref = final_ln(h).numpy()
+
+    from espresso_tpu.cli.convert_espresso_checkpoint import convert_conformer_layer
+    from espresso_tpu.modules.conformer import ConformerEncoderLayer
+    from espresso_tpu.modules.positional import relative_sinusoidal_positions
+
+    params, stats = convert_conformer_layer(sd, "l")
+    layer = ConformerEncoderLayer(
+        D, FFN, H, depthwise_kernel_size=K, use_relative_pos=True,
+        conv_norm_type="batch", dropout=0.0,
+    )
+    rel = relative_sinusoidal_positions(T, D)
+    # check our sinusoidal table matches espnet's
+    assert np.abs(np.asarray(rel) - pos_emb.numpy()).max() < 1e-5
+    out = layer.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.numpy()),
+        jnp.ones((B, T), bool),
+        None,
+        jnp.asarray(rel),
+        train=False,
+    )
+    err = np.abs(np.asarray(out) - ref).max()
+    assert err < 1e-4, err
