@@ -137,6 +137,13 @@ class GenerationConfig:
     expansion_gamma: Optional[float] = None
     max_num_expansions_per_step: int = 2
     prefix_alpha: Optional[int] = None
+    # fairseq sequence_generator extras
+    no_repeat_ngram_size: int = 0
+    sampling: bool = False
+    sampling_topk: int = -1
+    sampling_topp: float = -1.0
+    diverse_beam_groups: int = 1
+    diverse_beam_strength: float = 0.5
     print_alignment: bool = False
     results_path: Optional[str] = None
     wer_output_filter: Optional[str] = None

@@ -108,4 +108,6 @@ def make_adapter(model):
         return LSTMDecoderAdapter(model)
     if isinstance(model, LSTMLanguageModel):
         return LMAdapter(model)
+    if all(hasattr(model, m) for m in ("init_state", "step", "reorder")):
+        return model  # object already implements the adapter protocol
     raise TypeError(f"no incremental adapter for {type(model).__name__}")

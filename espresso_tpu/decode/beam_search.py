@@ -48,6 +48,9 @@ class BeamSearchDecoder:
         sampling_topk: int = -1,
         sampling_topp: float = -1.0,
         seed: int = 0,
+        no_repeat_ngram_size: int = 0,
+        diverse_beam_groups: int = 1,
+        diverse_beam_strength: float = 0.5,
     ):
         # model ensembles average probabilities per step (reference
         # EnsembleModel, sequence_generator.py): pass a list of models and a
@@ -60,6 +63,11 @@ class BeamSearchDecoder:
         self.sampling_topk = sampling_topk
         self.sampling_topp = sampling_topp
         self.seed = seed
+        self.no_repeat_ngram = no_repeat_ngram_size
+        self.div_groups = diverse_beam_groups
+        self.div_strength = diverse_beam_strength
+        if self.div_groups > 1 and beam_size % self.div_groups != 0:
+            raise ValueError("beam_size must be divisible by diverse_beam_groups")
         self.dict = dictionary
         self.beam = beam_size
         self.max_len_a = max_len_a
@@ -81,7 +89,7 @@ class BeamSearchDecoder:
         self._jitted: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------
-    def _search_fn(self, max_len: int):
+    def _search_fn(self, max_len: int, pref_len: int = 0):
         K = self.beam
         eos, pad = self.eos, self.pad
         min_len = self.min_len
@@ -97,8 +105,13 @@ class BeamSearchDecoder:
         topk_k = self.sampling_topk
         topp = self.sampling_topp
         seed = self.seed
+        ngram_n = self.no_repeat_ngram
+        G = self.div_groups
+        div_strength = self.div_strength
 
-        def run(variables_list, lm_variables, src_frames, src_lengths):
+        def run(
+            variables_list, lm_variables, src_frames, src_lengths, pref_toks
+        ):
             B = src_frames.shape[0]
             BK = B * K
             encs, states = [], []
@@ -117,9 +130,13 @@ class BeamSearchDecoder:
 
             tokens0 = jnp.full((B, K, max_len + 1), pad, jnp.int32)
             tokens0 = tokens0.at[:, :, 0].set(eos)  # eos-led prefix
-            # only beam 0 live initially (all beams identical otherwise)
+            pref_lens = (
+                (pref_toks != pad).sum(axis=1) if pref_len > 0 else None
+            )
+            # only the first beam of each diversity group live initially
+            # (all beams identical otherwise); G=1 -> beam 0 only
             scores0 = jnp.where(
-                jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+                jnp.arange(K)[None, :] % (K // G) == 0, 0.0, NEG_INF
             ) * jnp.ones((B, 1))
             fin_tokens0 = jnp.full((B, K, max_len + 1), pad, jnp.int32)
             fin_scores0 = jnp.full((B, K), NEG_INF)
@@ -199,6 +216,58 @@ class BeamSearchDecoder:
                     )
 
                 V = lprobs.shape[-1]
+                if ngram_n > 0 and max_len + 1 >= ngram_n:
+                    # vectorized no-repeat-ngram block (reference
+                    # fairseq/sequence_generator.py NGramRepeatBlock /
+                    # ngram_repeat_block CUDA op): ban any token v that would
+                    # complete an n-gram already present in the prefix. For
+                    # every start p, window tokens[p:p+n-1] is compared to the
+                    # current (n-1)-token suffix; matches ban tokens[p+n-1].
+                    tk = tokens.reshape(BK, -1)
+                    Lp1 = tk.shape[1]
+                    P = Lp1 - ngram_n + 1
+                    suf_start = jnp.maximum(step - (ngram_n - 2), 0)
+                    last = jax.lax.dynamic_slice_in_dim(
+                        tk, suf_start, ngram_n - 1, axis=1
+                    )  # [BK, n-1]
+                    match = jnp.ones((BK, P), bool)
+                    for i in range(ngram_n - 1):
+                        match = match & (tk[:, i : i + P] == last[:, i : i + 1])
+                    ppos = jnp.arange(P)
+                    match = match & (
+                        (ppos[None, :] + (ngram_n - 1) <= step)
+                        & (step >= ngram_n - 1)
+                    )
+                    banned = tk[:, ngram_n - 1 : ngram_n - 1 + P]  # [BK, P]
+                    ban_mask = (
+                        jnp.zeros((BK, V), bool)
+                        .at[jnp.arange(BK)[:, None], banned]
+                        .max(match)
+                    )
+                    lprobs = jnp.where(ban_mask, NEG_INF, lprobs)
+                if pref_len > 0:
+                    # force decoding through the given prefix (reference
+                    # sequence_generator._prefix_tokens: keep the prefix
+                    # token's own lprob, ban everything else)
+                    in_pref = step < pref_lens  # [B]
+                    forced = jax.lax.dynamic_slice_in_dim(
+                        pref_toks,
+                        jnp.minimum(step, pref_len - 1),
+                        1,
+                        axis=1,
+                    )[:, 0]  # [B]
+                    forced_bk = jnp.broadcast_to(
+                        forced[:, None], (B, K)
+                    ).reshape(BK)
+                    in_pref_bk = jnp.broadcast_to(
+                        in_pref[:, None], (B, K)
+                    ).reshape(BK)
+                    not_forced = (
+                        jnp.arange(V)[None, :] != forced_bk[:, None]
+                    )
+                    lprobs = jnp.where(
+                        in_pref_bk[:, None] & not_forced, NEG_INF, lprobs
+                    )
                 if sampling:
                     # independent per-beam ancestral sampling (reference
                     # search.py Sampling:621 with top-k/top-p truncation)
@@ -227,6 +296,34 @@ class BeamSearchDecoder:
                     top_scores = jnp.concatenate([top_scores, pad_scores], 1)
                     tok_idx = jnp.concatenate([tok_idx, tok_idx], axis=1)
                     beam_idx = jnp.concatenate([beam_idx, beam_idx], axis=1)
+                elif G > 1:
+                    # diverse beam search (reference fairseq/search.py
+                    # DiverseBeamSearch, Vijayakumar et al. 2016): groups of
+                    # K/G beams select sequentially; later groups see a
+                    # penalty proportional to how often each token was
+                    # already picked this step. Penalized scores are kept
+                    # (reference keeps them too).
+                    Kg = K // G
+                    lp3 = lprobs.reshape(B, K, V)
+                    div_buf = jnp.zeros((B, V), lprobs.dtype)
+                    s_parts, b_parts, t_parts = [], [], []
+                    for g in range(G):
+                        lp_g = (
+                            lp3[:, g * Kg : (g + 1) * Kg]
+                            + scores[:, g * Kg : (g + 1) * Kg, None]
+                            - div_strength * div_buf[:, None, :]
+                        ).reshape(B, Kg * V)
+                        s_g, i_g = jax.lax.top_k(lp_g, 2 * Kg)
+                        t_g = (i_g % V).astype(jnp.int32)
+                        div_buf = div_buf.at[
+                            jnp.arange(B)[:, None], t_g
+                        ].add(1.0)
+                        s_parts.append(s_g)
+                        b_parts.append(i_g // V + g * Kg)
+                        t_parts.append(t_g)
+                    top_scores = jnp.concatenate(s_parts, axis=1)
+                    beam_idx = jnp.concatenate(b_parts, axis=1)
+                    tok_idx = jnp.concatenate(t_parts, axis=1)
                 else:
                     cand = scores.reshape(BK, 1) + lprobs  # [BK, V]
                     cand = cand.reshape(B, K * V)
@@ -272,7 +369,21 @@ class BeamSearchDecoder:
 
                 # --- continue with best K non-eos candidates ---------------
                 cont_scores = jnp.where(is_eos, NEG_INF, top_scores)
-                new_scores, sel = jax.lax.top_k(cont_scores, K)  # [B, K]
+                if G > 1:
+                    # keep the group structure: group g's continuing beams
+                    # come from group g's own 2*Kg candidate slice
+                    Kg = K // G
+                    ns_parts, sel_parts = [], []
+                    for g in range(G):
+                        s_g, sel_g = jax.lax.top_k(
+                            cont_scores[:, 2 * Kg * g : 2 * Kg * (g + 1)], Kg
+                        )
+                        ns_parts.append(s_g)
+                        sel_parts.append(sel_g + 2 * Kg * g)
+                    new_scores = jnp.concatenate(ns_parts, axis=1)
+                    sel = jnp.concatenate(sel_parts, axis=1)
+                else:
+                    new_scores, sel = jax.lax.top_k(cont_scores, K)  # [B, K]
                 sel_beam = jnp.take_along_axis(beam_idx, sel, axis=1)
                 sel_tok = jnp.take_along_axis(tok_idx, sel, axis=1)
                 flat_sel = (jnp.arange(B)[:, None] * K + sel_beam).reshape(-1)
@@ -337,20 +448,32 @@ class BeamSearchDecoder:
         return jax.jit(run)
 
     # ------------------------------------------------------------------
-    def decode(self, variables, batch) -> List[List[Dict[str, Any]]]:
+    def decode(
+        self, variables, batch, prefix_tokens=None
+    ) -> List[List[Dict[str, Any]]]:
         src_frames = jnp.asarray(batch["src_frames"])
         src_lengths = jnp.asarray(batch["src_lengths"])
         T = src_frames.shape[1]
         max_len = int(self.max_len_a * T + self.max_len_b)
         max_len = max(min(max_len, 1024), 2)
-        key = (src_frames.shape, max_len)
+        if prefix_tokens is not None:
+            prefix_tokens = jnp.asarray(prefix_tokens, jnp.int32)
+            pref_len = int(prefix_tokens.shape[1])
+        else:
+            prefix_tokens = jnp.zeros((src_frames.shape[0], 0), jnp.int32)
+            pref_len = 0
+        key = (src_frames.shape, max_len, pref_len)
         if key not in self._jitted:
-            self._jitted[key] = self._search_fn(max_len)
+            self._jitted[key] = self._search_fn(max_len, pref_len)
         variables_list = (
             variables if isinstance(variables, (list, tuple)) else [variables]
         )
         fin_tokens, fin_scores, fin_raw, fin_lens = self._jitted[key](
-            variables_list, self.lm_variables, src_frames, src_lengths
+            variables_list,
+            self.lm_variables,
+            src_frames,
+            src_lengths,
+            prefix_tokens,
         )
         fin_tokens = np.asarray(fin_tokens)
         fin_scores = np.asarray(fin_scores)

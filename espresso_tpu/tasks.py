@@ -257,6 +257,12 @@ class SpeechRecognitionEspressoTask:
             temperature=gen_cfg.temperature,
             lm=lm,
             lm_weight=lm_weight,
+            sampling=gen_cfg.sampling,
+            sampling_topk=gen_cfg.sampling_topk,
+            sampling_topp=gen_cfg.sampling_topp,
+            no_repeat_ngram_size=gen_cfg.no_repeat_ngram_size,
+            diverse_beam_groups=gen_cfg.diverse_beam_groups,
+            diverse_beam_strength=gen_cfg.diverse_beam_strength,
         )
 
 

@@ -1,0 +1,149 @@
+"""Beam-search extras: no-repeat-ngram blocking, prefix-token forcing,
+diverse beam groups (reference fairseq sequence_generator.py NGramRepeatBlock
+/ _prefix_tokens, fairseq/search.py DiverseBeamSearch)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from espresso_tpu.data.dictionary import AsrDictionary
+from espresso_tpu.decode.beam_search import BeamSearchDecoder
+from espresso_tpu.models.base import EncoderOut
+
+
+def _dict(n_units=4):
+    d = AsrDictionary()
+    for i in range(n_units):
+        d.add_symbol(f"u{i}")
+    return d
+
+
+class _FixedLprobModel:
+    """Deterministic dummy: every step emits the same log-prob row.
+    Implements both the encode API and the adapter protocol (state is a
+    dummy scalar per row so reorder is exercised)."""
+
+    def __init__(self, lprow):
+        self.lprow = jnp.asarray(lprow, jnp.float32)
+
+    def apply(self, variables, frames, lengths, method=None):
+        assert method == "encode"
+        return EncoderOut(
+            encoder_out=frames,
+            encoder_padding_mask=jnp.zeros(frames.shape[:2], bool),
+            src_lengths=lengths,
+        )
+
+    def init_state(self, variables, enc, batch_k, max_len):
+        return jnp.zeros((batch_k,), jnp.float32)
+
+    def step(self, variables, tokens, state, enc, step_idx):
+        logits = jnp.broadcast_to(
+            self.lprow[None, :], (tokens.shape[0], self.lprow.shape[0])
+        )
+        return logits, state + 1.0, None
+
+    def reorder(self, state, idx):
+        return jnp.take(state, idx, axis=0)
+
+
+def _batch(B=1, T=5, F=4):
+    return {
+        "src_frames": np.zeros((B, T, F), np.float32),
+        "src_lengths": np.full((B,), T, np.int64),
+    }
+
+
+def test_no_repeat_ngram_blocks_repeats():
+    d = _dict()
+    V = len(d)
+    # strongly prefer token 'a' = first unit; eos mildly possible late
+    row = np.full((V,), -10.0, np.float32)
+    a = d.index("u0")
+    b = d.index("u1")
+    row[a] = 0.0
+    row[b] = -1.0
+    row[d.eos()] = -8.0
+    model = _FixedLprobModel(row)
+
+    # without blocking, greedy-ish beam emits a,a,a,... (repeated bigrams)
+    dec = BeamSearchDecoder(model, d, beam_size=2, max_len_b=6, min_len=5)
+    out = dec.decode({}, _batch())
+    toks = list(out[0][0]["tokens"])
+    assert toks[:3] == [a, a, a]
+
+    dec2 = BeamSearchDecoder(
+        model, d, beam_size=2, max_len_b=6, min_len=5, no_repeat_ngram_size=2
+    )
+    out2 = dec2.decode({}, _batch())
+    toks2 = list(out2[0][0]["tokens"])
+    # bigrams must be unique within the hypothesis (incl. the leading eos)
+    seq = [d.eos()] + toks2
+    bigrams = list(zip(seq, seq[1:]))
+    assert len(bigrams) == len(set(bigrams)), toks2
+    # the third 'a' (which would repeat bigram a,a) was banned
+    assert toks2[:3] == [a, a, b]
+
+
+def test_prefix_tokens_forced():
+    d = _dict()
+    V = len(d)
+    a, b, c = d.index("u0"), d.index("u1"), d.index("u2")
+    row = np.full((V,), -10.0, np.float32)
+    row[a] = 0.0
+    row[d.eos()] = -8.0
+    model = _FixedLprobModel(row)
+    dec = BeamSearchDecoder(model, d, beam_size=2, max_len_b=6, min_len=4)
+    # force the unlikely prefix [c, b]; both rows of the batch
+    prefix = np.array([[c, b], [b, c]], np.int32)
+    out = dec.decode({}, _batch(B=2), prefix_tokens=prefix)
+    assert list(out[0][0]["tokens"][:2]) == [c, b]
+    assert list(out[1][0]["tokens"][:2]) == [b, c]
+    # after the prefix the model preference resumes
+    assert out[0][0]["tokens"][2] == a
+
+
+def test_diverse_beam_groups_diversify():
+    d = _dict()
+    V = len(d)
+    a, b = d.index("u0"), d.index("u1")
+    row = np.full((V,), -10.0, np.float32)
+    row[a] = 0.0
+    row[b] = -0.1
+    row[d.eos()] = -6.0
+    model = _FixedLprobModel(row)
+    dec = BeamSearchDecoder(
+        model,
+        d,
+        beam_size=4,
+        max_len_b=5,
+        min_len=3,
+        diverse_beam_groups=2,
+        diverse_beam_strength=0.1,
+    )
+    out = dec.decode({}, _batch())
+    seqs = [tuple(h["tokens"]) for h in out[0]]
+    scores = [h["score"] for h in out[0]]
+    # both groups independently find the argmax sequence; group 2's copy
+    # carries the diversity penalty in its score (reference keeps penalized
+    # scores too) — the duplicated sequence with distinct scores is the
+    # fingerprint of per-group search
+    best = seqs[0]
+    dup = [i for i, s in enumerate(seqs) if s == best]
+    assert len(dup) >= 2, out[0]
+    assert scores[dup[0]] > scores[dup[1]]
+
+    # sanity: plain beam search returns 4 distinct sequences instead
+    dec1 = BeamSearchDecoder(model, d, beam_size=4, max_len_b=5, min_len=3)
+    out1 = dec1.decode({}, _batch())
+    seqs1 = [tuple(h["tokens"]) for h in out1[0]]
+    assert len(set(seqs1)) == 4
+
+
+def test_diverse_groups_requires_divisible_beam():
+    d = _dict()
+    with pytest.raises(ValueError):
+        BeamSearchDecoder(
+            _FixedLprobModel(np.zeros(len(d))), d, beam_size=5,
+            diverse_beam_groups=2,
+        )
