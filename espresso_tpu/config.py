@@ -137,6 +137,7 @@ class GenerationConfig:
     expansion_gamma: Optional[float] = None
     max_num_expansions_per_step: int = 2
     prefix_alpha: Optional[int] = None
+    model_predicts_eos: bool = False
     # fairseq sequence_generator extras
     no_repeat_ngram_size: int = 0
     sampling: bool = False

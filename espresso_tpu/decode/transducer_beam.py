@@ -46,10 +46,12 @@ class TransducerBeamSearchDecoder:
         lm=None,
         lm_weight: float = 0.0,
         lm_variables=None,
+        model_predicts_eos: bool = False,
     ):
         self.model = model
         self.dict = dictionary
         self.blank = dictionary.blank()
+        self.model_predicts_eos = model_predicts_eos
         self.beam = beam_size
         self.expansion_beta = expansion_beta
         self.expansion_gamma = expansion_gamma
@@ -68,6 +70,8 @@ class TransducerBeamSearchDecoder:
 
     def _search_fn(self, T: int, L_max: int):
         model, blank, K = self.model, self.blank, self.beam
+        eos = self.dict.eos()
+        predicts_eos = self.model_predicts_eos
         n_exp = self.n_exp
         n_cand = K + self.expansion_beta
         gamma = self.expansion_gamma
@@ -150,6 +154,14 @@ class TransducerBeamSearchDecoder:
                     lprobs = jax.nn.log_softmax(
                         logits.astype(jnp.float32), axis=-1
                     ).reshape(B, K, -1)
+                    if predicts_eos:
+                        # fold eos mass into blank (reference
+                        # transducer_beam_search_decoder.py:334-339)
+                        lprobs = lprobs.at[:, :, blank].set(
+                            jnp.logaddexp(
+                                lprobs[:, :, blank], lprobs[:, :, eos]
+                            )
+                        ).at[:, :, eos].set(NEG_INF)
                     V = lprobs.shape[-1]
 
                     # ---- blank: candidates for the next frame -------------

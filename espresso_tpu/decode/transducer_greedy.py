@@ -23,6 +23,7 @@ class TransducerGreedyDecoder:
         dictionary,
         max_num_expansions_per_step: int = 2,
         max_out_factor: float = 1.0,
+        model_predicts_eos: bool = False,
     ):
         self.model = model
         self.dict = dictionary
@@ -30,10 +31,13 @@ class TransducerGreedyDecoder:
         self.eos = dictionary.eos()
         self.max_expansions = max_num_expansions_per_step
         self.max_out_factor = max_out_factor
+        self.model_predicts_eos = model_predicts_eos
         self._jitted: Dict[Tuple, Any] = {}
 
     def _decode_fn(self, T: int, L_max: int):
         model, blank = self.model, self.blank
+        eos = self.eos
+        predicts_eos = self.model_predicts_eos
         n_exp = self.max_expansions
 
         @jax.jit
@@ -70,6 +74,12 @@ class TransducerGreedyDecoder:
                     lprobs = jax.nn.log_softmax(
                         logits.astype(jnp.float32), axis=-1
                     )
+                    if predicts_eos:
+                        # fold eos mass into blank to mitigate deletion
+                        # errors (reference transducer_greedy_decoder.py:212)
+                        lprobs = lprobs.at[:, blank].set(
+                            jnp.logaddexp(lprobs[:, blank], lprobs[:, eos])
+                        ).at[:, eos].set(-jnp.inf)
                     k = jnp.argmax(lprobs, axis=-1).astype(jnp.int32)
                     k_score = jnp.take_along_axis(lprobs, k[:, None], 1)[:, 0]
                     emit = (k != blank) & expanding & (out_len < L_max)

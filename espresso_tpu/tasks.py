@@ -212,7 +212,12 @@ class SpeechRecognitionEspressoTask:
                     TransducerGreedyDecoder,
                 )
 
-                return TransducerGreedyDecoder(model, self.dictionary)
+                return TransducerGreedyDecoder(
+                    model,
+                    self.dictionary,
+                    max_num_expansions_per_step=gen_cfg.max_num_expansions_per_step,
+                    model_predicts_eos=gen_cfg.model_predicts_eos,
+                )
             from espresso_tpu.decode.transducer_beam import (
                 TransducerBeamSearchDecoder,
             )
@@ -226,6 +231,7 @@ class SpeechRecognitionEspressoTask:
                 max_num_expansions_per_step=gen_cfg.max_num_expansions_per_step,
                 lm=lm,
                 lm_weight=lm_weight,
+                model_predicts_eos=gen_cfg.model_predicts_eos,
             )
         if crit == "ctc_loss":
             if gen_cfg.beam > 1:

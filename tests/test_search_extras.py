@@ -140,6 +140,61 @@ def test_diverse_beam_groups_diversify():
     assert len(set(seqs1)) == 4
 
 
+def test_transducer_model_predicts_eos():
+    # decoders with model_predicts_eos fold eos prob into blank: eos is
+    # never emitted and decode still runs (reference
+    # transducer_greedy_decoder.py:212 / transducer_beam_search_decoder:334)
+    import jax
+
+    from espresso_tpu.decode.transducer_beam import TransducerBeamSearchDecoder
+    from espresso_tpu.decode.transducer_greedy import TransducerGreedyDecoder
+    from espresso_tpu.models.speech_transformer import SpeechTransformerConfig
+    from espresso_tpu.models.transducer import TransducerConfig, TransducerModel
+
+    d = AsrDictionary(enable_bos=True)  # blank = bos for transducer
+    for i in range(6):
+        d.add_symbol(f"u{i}")
+    V = len(d)
+    cfg = TransducerConfig(
+        feat_dim=8,
+        vocab_size=V,
+        encoder=SpeechTransformerConfig(
+            feat_dim=8,
+            vocab_size=V,
+            conv_channels=(4,),
+            conv_kernel_sizes=((3, 3),),
+            conv_strides=((2, 2),),
+            encoder_embed_dim=16,
+            encoder_ffn_dim=32,
+            encoder_layers=1,
+            encoder_heads=2,
+            dropout=0.0,
+        ),
+        pred_embed_dim=8,
+        pred_hidden_size=12,
+        pred_layers=1,
+        joint_dim=10,
+    )
+    model = TransducerModel(cfg)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((2, 21, 8)).astype(np.float32))
+    lengths = jnp.asarray([21, 15])
+    prev = jnp.asarray(rng.integers(0, V, (2, 4)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), frames, lengths, prev)
+    batch = {"src_frames": np.asarray(frames), "src_lengths": np.asarray(lengths)}
+
+    for dec in (
+        TransducerGreedyDecoder(model, d, model_predicts_eos=True),
+        TransducerBeamSearchDecoder(
+            model, d, beam_size=3, model_predicts_eos=True
+        ),
+    ):
+        out = dec.decode(variables, batch)
+        for hyps in out:
+            for h in hyps:
+                assert d.eos() not in list(h["tokens"]), h
+
+
 def test_diverse_groups_requires_divisible_beam():
     d = _dict()
     with pytest.raises(ValueError):
