@@ -166,7 +166,16 @@ def convert_lstm_lm(sd: Dict[str, Any]):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="espresso .pt checkpoint")
-    p.add_argument("--arch", required=True, choices=["speech_lstm", "lstm_lm"])
+    p.add_argument(
+        "--arch",
+        required=True,
+        choices=[
+            "speech_lstm",
+            "lstm_lm",
+            "speech_transformer",
+            "speech_transformer_transducer",
+        ],
+    )
     p.add_argument("--num-encoder-layers", type=int, default=3)
     p.add_argument("--output", required=True, help="output checkpoint dir")
     args = p.parse_args(argv)
@@ -177,6 +186,10 @@ def main(argv=None):
     sd = blob.get("model", blob)
     if args.arch == "speech_lstm":
         params, batch_stats = convert_speech_lstm(sd, args.num_encoder_layers)
+    elif args.arch == "speech_transformer":
+        params, batch_stats = convert_speech_transformer(sd)
+    elif args.arch == "speech_transformer_transducer":
+        params, batch_stats = convert_speech_transformer_transducer(sd)
     else:
         params, batch_stats = convert_lstm_lm(sd)
 
@@ -266,3 +279,143 @@ def convert_conformer_layer(sd: Dict[str, Any], prefix: str):
     params["conv_module"] = conv
     params["final_layer_norm"] = _layernorm(sd, f"{prefix}.final_layer_norm")
     return params, stats
+
+
+def _mha(sd, prefix):
+    """fairseq MultiheadAttention (separate q/k/v/out projections) -> ours."""
+    out = {
+        "q_proj": _linear(sd, f"{prefix}.q_proj"),
+        "k_proj": _linear(sd, f"{prefix}.k_proj"),
+        "v_proj": _linear(sd, f"{prefix}.v_proj"),
+        "out_proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+    if f"{prefix}.linear_pos.weight" in sd:  # espnet rel-pos variant
+        out["pos_proj"] = {"kernel": _t(sd[f"{prefix}.linear_pos.weight"]).T}
+        out["pos_bias_u"] = _t(sd[f"{prefix}.pos_bias_u"])
+        out["pos_bias_v"] = _t(sd[f"{prefix}.pos_bias_v"])
+    return out
+
+
+def convert_transformer_encoder_layer(sd: Dict[str, Any], prefix: str):
+    """fairseq TransformerEncoderLayer (pre-norm) ->
+    modules/conformer.TransformerEncoderLayer params."""
+    return {
+        "self_attn_layer_norm": _layernorm(sd, f"{prefix}.self_attn_layer_norm"),
+        "self_attn": _mha(sd, f"{prefix}.self_attn"),
+        "final_layer_norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
+        "Dense_0": _linear(sd, f"{prefix}.fc1"),
+        "Dense_1": _linear(sd, f"{prefix}.fc2"),
+    }
+
+
+def convert_transformer_decoder_layer(sd: Dict[str, Any], prefix: str):
+    """fairseq TransformerDecoderLayer -> models/speech_transformer
+    TransformerDecoderLayer params (encoder_attn -> cross_attn)."""
+    return {
+        "self_attn_layer_norm": _layernorm(sd, f"{prefix}.self_attn_layer_norm"),
+        "self_attn": _mha(sd, f"{prefix}.self_attn"),
+        "cross_attn_layer_norm": _layernorm(
+            sd, f"{prefix}.encoder_attn_layer_norm"
+        ),
+        "cross_attn": _mha(sd, f"{prefix}.encoder_attn"),
+        "final_layer_norm": _layernorm(sd, f"{prefix}.final_layer_norm"),
+        "fc1": _linear(sd, f"{prefix}.fc1"),
+        "fc2": _linear(sd, f"{prefix}.fc2"),
+    }
+
+
+def _count_layers(sd: Dict[str, Any], prefix: str) -> int:
+    n = 0
+    while any(k.startswith(f"{prefix}.{n}.") for k in sd):
+        n += 1
+    return n
+
+
+def convert_transformer_encoder(sd: Dict[str, Any], prefix: str = "encoder"):
+    """Espresso SpeechTransformerEncoder (speech_transformer_encoder.py:44):
+    pre_encoder conv -> fc0 -> transformer/conformer layer stack ->
+    layer_norm; maps onto our SpeechTransformerEncoder tree."""
+    conv_params, conv_stats = convert_conv_frontend(sd, f"{prefix}.pre_encoder")
+    params: Dict[str, Any] = {"conv": conv_params}
+    stats: Dict[str, Any] = {"conv": conv_stats} if conv_stats else {}
+    if f"{prefix}.fc0.weight" in sd:
+        params["fc0"] = _linear(sd, f"{prefix}.fc0")
+    n_layers = _count_layers(sd, f"{prefix}.layers")
+    conformer = f"{prefix}.layers.0.ffn1.w_1.weight" in sd
+    for i in range(n_layers):
+        if conformer:
+            lp, ls = convert_conformer_layer(sd, f"{prefix}.layers.{i}")
+            params[f"layer{i}"] = lp
+            if ls:
+                stats[f"layer{i}"] = ls
+        else:
+            params[f"layer{i}"] = convert_transformer_encoder_layer(
+                sd, f"{prefix}.layers.{i}"
+            )
+    if f"{prefix}.layer_norm.weight" in sd:
+        params["final_norm"] = _layernorm(sd, f"{prefix}.layer_norm")
+    return params, stats
+
+
+def convert_speech_transformer(sd: Dict[str, Any]):
+    """Full espresso speech_transformer model -> (params, batch_stats)."""
+    enc_params, enc_stats = convert_transformer_encoder(sd, "encoder")
+    params: Dict[str, Any] = {
+        "encoder": enc_params,
+        "embed_tokens": {"embedding": _t(sd["decoder.embed_tokens.weight"])},
+    }
+    n_dec = _count_layers(sd, "decoder.layers")
+    for i in range(n_dec):
+        params[f"declayer{i}"] = convert_transformer_decoder_layer(
+            sd, f"decoder.layers.{i}"
+        )
+    params["decoder_norm"] = _layernorm(sd, "decoder.layer_norm")
+    if "decoder.output_projection.weight" in sd:
+        out_w = _t(sd["decoder.output_projection.weight"])
+        emb = params["embed_tokens"]["embedding"]
+        if out_w.shape != emb.shape or not np.array_equal(out_w, emb):
+            params["fc_out"] = {"kernel": out_w.T}
+            if "decoder.output_projection.bias" in sd:
+                params["fc_out"]["bias"] = _t(
+                    sd["decoder.output_projection.bias"]
+                )
+    batch_stats = {"encoder": enc_stats} if enc_stats else {}
+    return params, batch_stats
+
+
+def _weight_norm_linear(sd, key):
+    """nn.utils.weight_norm'd Linear: weight = g * v / ||v|| (row-wise)."""
+    if f"{key}.weight_g" in sd:
+        g = _t(sd[f"{key}.weight_g"])  # [out, 1]
+        v = _t(sd[f"{key}.weight_v"])  # [out, in]
+        w = g * v / np.linalg.norm(v, axis=1, keepdims=True)
+    else:
+        w = _t(sd[f"{key}.weight"])
+    out = {"kernel": w.T}
+    if f"{key}.bias" in sd:
+        out["bias"] = _t(sd[f"{key}.bias"])
+    return out
+
+
+def convert_speech_transformer_transducer(sd: Dict[str, Any]):
+    """Espresso speech_transformer_transducer
+    (speech_transformer_transducer_base.py:44): conformer encoder +
+    SpeechLSTMDecoder prediction net (LM mode) + joint projections."""
+    enc_params, enc_stats = convert_transformer_encoder(sd, "encoder")
+    pred = convert_lstm_decoder(sd, "decoder")
+    # prediction net feeds features (not logits) into the joint; drop any
+    # LM-style output head
+    pred.pop("fc_out", None)
+    params: Dict[str, Any] = {
+        "encoder": enc_params,
+        "predictor": pred,
+        "joint": {
+            "proj_enc": _linear(sd, "proj_encoder"),
+            "ln_enc": _layernorm(sd, "laynorm_proj_encoder"),
+            "proj_dec": _linear(sd, "proj_decoder"),
+            "ln_dec": _layernorm(sd, "laynorm_proj_decoder"),
+            "fc_out": _weight_norm_linear(sd, "fc_out"),
+        },
+    }
+    batch_stats = {"encoder": enc_stats} if enc_stats else {}
+    return params, batch_stats

@@ -325,3 +325,258 @@ def test_conformer_layer_parity():
     )
     err = np.abs(np.asarray(out) - ref).max()
     assert err < 1e-4, err
+
+
+def _mk_torch_mha(D):
+    lq, lk, lv, lo = (tnn.Linear(D, D) for _ in range(4))
+    return lq, lk, lv, lo
+
+
+def _mha_sd(sd, prefix, mods):
+    lq, lk, lv, lo = mods
+    for nm, m in (("q_proj", lq), ("k_proj", lk), ("v_proj", lv), ("out_proj", lo)):
+        sd[f"{prefix}.{nm}.weight"] = m.weight
+        sd[f"{prefix}.{nm}.bias"] = m.bias
+
+
+def _torch_mha(mods, q_in, k_in, H, causal=False):
+    import math
+
+    lq, lk, lv, lo = mods
+    B, Tq, D = q_in.shape
+    Tk = k_in.shape[1]
+    dk = D // H
+    q = lq(q_in).view(B, Tq, H, dk).transpose(1, 2) / math.sqrt(dk)
+    k = lk(k_in).view(B, Tk, H, dk).transpose(1, 2)
+    v = lv(k_in).view(B, Tk, H, dk).transpose(1, 2)
+    scores = torch.matmul(q, k.transpose(-2, -1))
+    if causal:
+        mask = torch.triu(torch.ones(Tq, Tk, dtype=torch.bool), 1)
+        scores = scores.masked_fill(mask, float("-inf"))
+    attn = torch.softmax(scores, dim=-1)
+    out = torch.matmul(attn, v).transpose(1, 2).reshape(B, Tq, D)
+    return lo(out)
+
+
+def test_transformer_decoder_layer_parity():
+    """fairseq pre-norm TransformerDecoderLayer reimplemented in torch must
+    match our TransformerDecoderLayer after conversion."""
+    torch.manual_seed(5)
+    D, H, FFN = 16, 4, 32
+    B, U, T = 2, 6, 9
+
+    self_mods = _mk_torch_mha(D)
+    cross_mods = _mk_torch_mha(D)
+    ln_s, ln_c, ln_f = tnn.LayerNorm(D), tnn.LayerNorm(D), tnn.LayerNorm(D)
+    fc1, fc2 = tnn.Linear(D, FFN), tnn.Linear(FFN, D)
+
+    sd = {}
+    _mha_sd(sd, "l.self_attn", self_mods)
+    _mha_sd(sd, "l.encoder_attn", cross_mods)
+    sd["l.self_attn_layer_norm.weight"] = ln_s.weight
+    sd["l.self_attn_layer_norm.bias"] = ln_s.bias
+    sd["l.encoder_attn_layer_norm.weight"] = ln_c.weight
+    sd["l.encoder_attn_layer_norm.bias"] = ln_c.bias
+    sd["l.final_layer_norm.weight"] = ln_f.weight
+    sd["l.final_layer_norm.bias"] = ln_f.bias
+    sd["l.fc1.weight"] = fc1.weight; sd["l.fc1.bias"] = fc1.bias
+    sd["l.fc2.weight"] = fc2.weight; sd["l.fc2.bias"] = fc2.bias
+
+    x = torch.randn(B, U, D)
+    enc = torch.randn(B, T, D)
+    with torch.no_grad():
+        h = x + _torch_mha(self_mods, ln_s(x), ln_s(x), H, causal=True)
+        h = h + _torch_mha(cross_mods, ln_c(h), enc, H)
+        ref = (h + fc2(torch.relu(fc1(ln_f(h))))).numpy()
+
+    from espresso_tpu.cli.convert_espresso_checkpoint import (
+        convert_transformer_decoder_layer,
+    )
+    from espresso_tpu.models.speech_transformer import TransformerDecoderLayer
+    from espresso_tpu.ops.masking import NEG_INF
+
+    params = convert_transformer_decoder_layer(sd, "l")
+    layer = TransformerDecoderLayer(D, FFN, H, dropout=0.0)
+    causal = jnp.where(jnp.tril(jnp.ones((U, U), bool)), 0.0, NEG_INF)
+    out, _, _ = layer.apply(
+        {"params": params},
+        jnp.asarray(x.numpy()),
+        jnp.asarray(enc.numpy()),
+        jnp.ones((B, T), bool),
+        causal,
+    )
+    err = np.abs(np.asarray(out) - ref).max()
+    assert err < 1e-4, err
+
+
+def _rand_sd_like(shapes):
+    torch.manual_seed(11)
+    sd = {k: torch.randn(*v) * 0.05 for k, v in shapes.items()}
+    for k in sd:
+        if "running_var" in k:
+            sd[k] = sd[k].abs() + 0.5
+    return sd
+
+
+def test_speech_transformer_full_structure():
+    """Converted full speech_transformer tree must exactly match the tree
+    our model initializes (catches any layout drift)."""
+    from espresso_tpu.cli.convert_espresso_checkpoint import (
+        convert_speech_transformer,
+    )
+    from espresso_tpu.models.speech_transformer import (
+        SpeechTransformerConfig,
+        SpeechTransformerModel,
+    )
+
+    D, FFN, H, V, F = 16, 32, 4, 11, 8
+    shapes = {
+        "encoder.pre_encoder.convolutions.0.weight": (4, 1, 3, 3),
+        "encoder.pre_encoder.convolutions.0.bias": (4,),
+        "encoder.pre_encoder.batchnorms.0.weight": (4,),
+        "encoder.pre_encoder.batchnorms.0.bias": (4,),
+        "encoder.pre_encoder.batchnorms.0.running_mean": (4,),
+        "encoder.pre_encoder.batchnorms.0.running_var": (4,),
+        "encoder.fc0.weight": (D, 4 * ((F + 1) // 2)),
+        "encoder.fc0.bias": (D,),
+        "encoder.layer_norm.weight": (D,),
+        "encoder.layer_norm.bias": (D,),
+        "decoder.embed_tokens.weight": (V, D),
+        "decoder.layer_norm.weight": (D,),
+        "decoder.layer_norm.bias": (D,),
+    }
+    for i in range(2):
+        p = f"encoder.layers.{i}"
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            shapes[f"{p}.self_attn.{nm}.weight"] = (D, D)
+            shapes[f"{p}.self_attn.{nm}.bias"] = (D,)
+        shapes[f"{p}.self_attn_layer_norm.weight"] = (D,)
+        shapes[f"{p}.self_attn_layer_norm.bias"] = (D,)
+        shapes[f"{p}.fc1.weight"] = (FFN, D)
+        shapes[f"{p}.fc1.bias"] = (FFN,)
+        shapes[f"{p}.fc2.weight"] = (D, FFN)
+        shapes[f"{p}.fc2.bias"] = (D,)
+        shapes[f"{p}.final_layer_norm.weight"] = (D,)
+        shapes[f"{p}.final_layer_norm.bias"] = (D,)
+    p = "decoder.layers.0"
+    for att in ("self_attn", "encoder_attn"):
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            shapes[f"{p}.{att}.{nm}.weight"] = (D, D)
+            shapes[f"{p}.{att}.{nm}.bias"] = (D,)
+    for ln in ("self_attn_layer_norm", "encoder_attn_layer_norm", "final_layer_norm"):
+        shapes[f"{p}.{ln}.weight"] = (D,)
+        shapes[f"{p}.{ln}.bias"] = (D,)
+    shapes[f"{p}.fc1.weight"] = (FFN, D)
+    shapes[f"{p}.fc1.bias"] = (FFN,)
+    shapes[f"{p}.fc2.weight"] = (D, FFN)
+    shapes[f"{p}.fc2.bias"] = (D,)
+    sd = _rand_sd_like(shapes)
+    # shared input/output embedding (no separate output_projection entry)
+    sd["decoder.output_projection.weight"] = sd["decoder.embed_tokens.weight"]
+
+    params, batch_stats = convert_speech_transformer(sd)
+
+    cfg = SpeechTransformerConfig(
+        feat_dim=F, vocab_size=V,
+        conv_channels=(4,), conv_kernel_sizes=((3, 3),), conv_strides=((2, 2),),
+        encoder_embed_dim=D, encoder_ffn_dim=FFN, encoder_layers=2,
+        encoder_heads=H, decoder_embed_dim=D, decoder_ffn_dim=FFN,
+        decoder_layers=1, decoder_heads=H, dropout=0.0,
+    )
+    model = SpeechTransformerModel(cfg)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((2, 13, F)).astype(np.float32))
+    lengths = jnp.asarray([13, 9])
+    prev = jnp.asarray(rng.integers(0, V, (2, 5)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), frames, lengths, prev)
+
+    ref_tree = jax.tree_util.tree_structure(variables["params"])
+    got_tree = jax.tree_util.tree_structure(params)
+    assert ref_tree == got_tree, f"\nref={ref_tree}\ngot={got_tree}"
+    # converted params must actually run
+    logits, _ = model.apply(
+        {"params": params, "batch_stats": batch_stats}, frames, lengths, prev
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_transducer_full_structure():
+    from espresso_tpu.cli.convert_espresso_checkpoint import (
+        convert_speech_transformer_transducer,
+    )
+    from espresso_tpu.models.speech_transformer import SpeechTransformerConfig
+    from espresso_tpu.models.transducer import TransducerConfig, TransducerModel
+
+    D, FFN, H, V, F, P = 16, 32, 4, 11, 8, 12
+    shapes = {
+        "encoder.pre_encoder.convolutions.0.weight": (4, 1, 3, 3),
+        "encoder.pre_encoder.convolutions.0.bias": (4,),
+        "encoder.fc0.weight": (D, 4 * ((F + 1) // 2)),
+        "encoder.fc0.bias": (D,),
+        "encoder.layer_norm.weight": (D,),
+        "encoder.layer_norm.bias": (D,),
+        "decoder.embed_tokens.weight": (V, 8),
+        # 1-layer LSTMCell prediction net, hidden P
+        "decoder.layers.0.weight_ih": (4 * P, 8),
+        "decoder.layers.0.weight_hh": (4 * P, P),
+        "decoder.layers.0.bias_ih": (4 * P,),
+        "decoder.layers.0.bias_hh": (4 * P,),
+        "proj_encoder.weight": (10, D),
+        "proj_encoder.bias": (10,),
+        "laynorm_proj_encoder.weight": (10,),
+        "laynorm_proj_encoder.bias": (10,),
+        "proj_decoder.weight": (10, P),
+        "proj_decoder.bias": (10,),
+        "laynorm_proj_decoder.weight": (10,),
+        "laynorm_proj_decoder.bias": (10,),
+        "fc_out.weight_g": (V, 1),
+        "fc_out.weight_v": (V, 10),
+        "fc_out.bias": (V,),
+    }
+    p = "encoder.layers.0"
+    for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        shapes[f"{p}.self_attn.{nm}.weight"] = (D, D)
+        shapes[f"{p}.self_attn.{nm}.bias"] = (D,)
+    shapes[f"{p}.self_attn_layer_norm.weight"] = (D,)
+    shapes[f"{p}.self_attn_layer_norm.bias"] = (D,)
+    shapes[f"{p}.fc1.weight"] = (FFN, D)
+    shapes[f"{p}.fc1.bias"] = (FFN,)
+    shapes[f"{p}.fc2.weight"] = (D, FFN)
+    shapes[f"{p}.fc2.bias"] = (D,)
+    shapes[f"{p}.final_layer_norm.weight"] = (D,)
+    shapes[f"{p}.final_layer_norm.bias"] = (D,)
+    sd = _rand_sd_like(shapes)
+
+    params, batch_stats = convert_speech_transformer_transducer(sd)
+
+    cfg = TransducerConfig(
+        feat_dim=F, vocab_size=V,
+        encoder=SpeechTransformerConfig(
+            feat_dim=F, vocab_size=V,
+            conv_channels=(4,), conv_kernel_sizes=((3, 3),),
+            conv_strides=((2, 2),), conv_norm_type="none",
+            encoder_embed_dim=D, encoder_ffn_dim=FFN, encoder_layers=1,
+            encoder_heads=H, dropout=0.0,
+        ),
+        pred_embed_dim=8, pred_hidden_size=P, pred_layers=1,
+        joint_dim=10, pred_dropout=0.0,
+    )
+    model = TransducerModel(cfg)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.standard_normal((2, 13, F)).astype(np.float32))
+    lengths = jnp.asarray([13, 9])
+    prev = jnp.asarray(rng.integers(0, V, (2, 5)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), frames, lengths, prev)
+
+    ref_tree = jax.tree_util.tree_structure(variables["params"])
+    got_tree = jax.tree_util.tree_structure(params)
+    assert ref_tree == got_tree, f"\nref={ref_tree}\ngot={got_tree}"
+    (lattice, _), _ = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        frames, lengths, prev, mutable=["batch_stats"],
+    )
+    assert np.isfinite(np.asarray(lattice)).all()
+    # weight-norm: effective fc_out kernel has the g-prescribed row norms
+    g = sd["fc_out.weight_g"].numpy()
+    kern = params["joint"]["fc_out"]["kernel"]
+    assert np.allclose(np.linalg.norm(kern, axis=0), np.abs(g[:, 0]), atol=1e-5)
