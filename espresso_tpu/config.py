@@ -220,6 +220,9 @@ class CriterionSection:
     fused_transducer: bool = False
     # lf_mmi (chain): denominator graph in ops/chain.py npz format
     denominator_graph_path: Optional[str] = None
+    # leaky-HMM denominator smoothing (reference lf_mmi_loss.py:28-31)
+    leaky_hmm_coefficient: float = 1e-5
+    leaky_hmm_mode: str = "stationary"  # stationary | transition | uniform
 
 
 @dataclass

@@ -321,7 +321,14 @@ class LFMMICriterion:
         if logits.shape[1] >= self.left + W:
             logits = jax.lax.dynamic_slice_in_dim(logits, self.left, W, axis=1)
         lengths = jnp.minimum(batch["tgt_lengths"], W)
-        losses = chain_loss(logits, target, lengths, self.graph)
+        losses = chain_loss(
+            logits,
+            target,
+            lengths,
+            self.graph,
+            leaky_hmm_coefficient=self.cfg.leaky_hmm_coefficient,
+            leaky_mode=self.cfg.leaky_hmm_mode,
+        )
         loss = (losses * batch["weight"]).sum()
         ntokens = (lengths * batch["weight"]).sum()
         logging = {"loss": loss, "ntokens": ntokens}

@@ -61,6 +61,37 @@ class DenominatorGraph:
             final_weights=self.final_weights,
         )
 
+    def leaky_probs(self, mode: str = "stationary", iters: int = 20) -> np.ndarray:
+        """Per-state leak destination distribution for the leaky-HMM
+        (reference: pychain ChainGraph(initial_mode="leaky") /
+        kaldi chain-denominator InitialProbs).
+
+        * ``uniform`` — 1/S everywhere.
+        * ``transition`` — proportional to total incoming arc probability
+          from a uniform source (one propagation step).
+        * ``stationary`` — power-iterate the (row-normalized) transition
+          matrix from uniform: the HMM's stationary state distribution
+          (kaldi's choice, chain-denominator.cc InitialProbs).
+        """
+        S = self.num_states
+        if mode == "uniform":
+            return np.full(S, 1.0 / S, np.float32)
+        # row-normalized transition probabilities
+        p_arc = np.exp(self.weight.astype(np.float64))
+        out_sum = np.zeros(S, np.float64)
+        np.add.at(out_sum, self.from_state, p_arc)
+        p_norm = p_arc / np.maximum(out_sum[self.from_state], 1e-30)
+        pi = np.full(S, 1.0 / S, np.float64)
+        n_steps = 1 if mode == "transition" else iters
+        for _ in range(n_steps):
+            nxt = np.zeros(S, np.float64)
+            np.add.at(nxt, self.to_state, pi[self.from_state] * p_norm)
+            total = nxt.sum()
+            if total <= 0:
+                break
+            pi = nxt / total
+        return pi.astype(np.float32)
+
     @staticmethod
     def from_fst_text(text: str, num_pdfs: Optional[int] = None) -> "DenominatorGraph":
         """Parse OpenFst text format: lines ``from to ilabel[ olabel[ weight]]``
@@ -120,18 +151,33 @@ def _segment_logsumexp(values: jnp.ndarray, segments: jnp.ndarray, num: int):
     return jnp.where(m > NEG_INF / 2, m_safe + jnp.log(jnp.maximum(s, 1e-30)), NEG_INF)
 
 
-def _den_forward(lp, lengths, from_s, to_s, pdf, weight, finals, S):
-    """alpha scan; returns (logZ [B], alphas [T, B, S])."""
+def _den_forward(lp, lengths, from_s, to_s, pdf, weight, finals, S, log_leak):
+    """alpha scan; returns (logZ [B], alpha_dash [T+1, B, S]).
+
+    With ``log_leak`` (= log(leaky_coeff) + log(pi), [S]) the leaky-HMM
+    transition (kaldi chain-denominator.cc AlphaDash) is applied before each
+    frame's arcs: alpha'(t,s) = alpha(t,s) ⊕ (Σ_s' alpha(t,s')) · leak(s).
+    The stored per-frame values are the leak-adjusted alpha' used by the
+    occupancy computation."""
     B, T, V = lp.shape
     alpha0 = jnp.full((B, S), NEG_INF).at[:, 0].set(0.0)
 
+    def leak(alpha):
+        if log_leak is None:
+            return alpha
+        tot = jax.nn.logsumexp(alpha, axis=-1, keepdims=True)  # [B, 1]
+        return jnp.logaddexp(alpha, tot + log_leak[None, :])
+
     def step(alpha, inputs):
         t, lp_t = inputs
-        arc_scores = alpha[:, from_s] + weight[None, :] + lp_t[:, pdf]  # [B, A]
+        alpha_dash = leak(alpha)
+        arc_scores = (
+            alpha_dash[:, from_s] + weight[None, :] + lp_t[:, pdf]
+        )  # [B, A]
         new_alpha = _segment_logsumexp(arc_scores, to_s, S)
         active = (t < lengths)[:, None]
         new_alpha = jnp.where(active, new_alpha, alpha)
-        return new_alpha, alpha
+        return new_alpha, jnp.where(active, alpha_dash, alpha)
 
     lp_tfirst = jnp.moveaxis(lp, 1, 0)
     alpha_T, alphas = jax.lax.scan(step, alpha0, (jnp.arange(T), lp_tfirst))
@@ -140,15 +186,22 @@ def _den_forward(lp, lengths, from_s, to_s, pdf, weight, finals, S):
     return logZ, alphas
 
 
-def _den_backward(lp, lengths, from_s, to_s, pdf, weight, finals, S):
-    """beta scan (reverse); returns betas [T+1, B, S] where betas[t] is the
-    completion score from state at time t."""
+def _den_backward(lp, lengths, from_s, to_s, pdf, weight, finals, S, log_leak):
+    """beta scan (reverse); returns beta_dash [T, B, S] where beta_dash[t] is
+    the completion score from a state at time t, including the time-t leak
+    (kaldi BetaDash: beta'(t,s) = beta(t,s) ⊕ Σ_s' leak(s')·beta(t,s'))."""
     B, T, V = lp.shape
+
+    def leak(beta):
+        if log_leak is None:
+            return beta
+        tot = jax.nn.logsumexp(beta + log_leak[None, :], axis=-1, keepdims=True)
+        return jnp.logaddexp(beta, tot)
 
     def step(beta_next, inputs):
         t, lp_t = inputs
         arc_scores = beta_next[:, to_s] + weight[None, :] + lp_t[:, pdf]
-        beta_t = _segment_logsumexp(arc_scores, from_s, S)
+        beta_t = leak(_segment_logsumexp(arc_scores, from_s, S))
         # at t == length: beta = final weights
         at_end = (t == lengths)[:, None]
         beta_t = jnp.where(at_end, finals[None, :], beta_t)
@@ -169,11 +222,14 @@ def _den_backward(lp, lengths, from_s, to_s, pdf, weight, finals, S):
 @jax.custom_vjp
 def chain_loss_from_log_probs(lp, targets, lengths, graph_arrays):
     """Per-example -(num - den). lp: [B, T, V] log-probs; targets: [B, T]
-    alignment pdf-ids (-1 pad); graph_arrays: tuple of device arrays."""
-    from_s, to_s, pdf, weight, finals = graph_arrays
+    alignment pdf-ids (-1 pad); graph_arrays: tuple of device arrays
+    (from, to, pdf, weight, finals, log_leak-or-None)."""
+    from_s, to_s, pdf, weight, finals, log_leak = graph_arrays
     S = finals.shape[0]
     B, T, V = lp.shape
-    logZ, _ = _den_forward(lp, lengths, from_s, to_s, pdf, weight, finals, S)
+    logZ, _ = _den_forward(
+        lp, lengths, from_s, to_s, pdf, weight, finals, S, log_leak
+    )
     t_idx = jnp.arange(T)[None, :]
     valid = (t_idx < lengths[:, None]) & (targets >= 0)
     safe_t = jnp.maximum(targets, 0)
@@ -194,11 +250,15 @@ def _chain_fwd(lp, targets, lengths, graph_arrays):
 
 def _chain_bwd(res, g):
     lp, targets, lengths, graph_arrays = res
-    from_s, to_s, pdf, weight, finals = graph_arrays
+    from_s, to_s, pdf, weight, finals, log_leak = graph_arrays
     S = finals.shape[0]
     B, T, V = lp.shape
-    logZ, alphas = _den_forward(lp, lengths, from_s, to_s, pdf, weight, finals, S)
-    betas = _den_backward(lp, lengths, from_s, to_s, pdf, weight, finals, S)
+    logZ, alphas = _den_forward(
+        lp, lengths, from_s, to_s, pdf, weight, finals, S, log_leak
+    )
+    betas = _den_backward(
+        lp, lengths, from_s, to_s, pdf, weight, finals, S, log_leak
+    )
 
     # denominator occupancy per (t, pdf): sum over arcs of
     # exp(alpha[t, from] + w + lp[t, pdf] + beta[t+1->](to) - logZ)
@@ -248,14 +308,30 @@ def chain_loss(
     targets: jnp.ndarray,
     lengths: jnp.ndarray,
     graph: DenominatorGraph,
+    leaky_hmm_coefficient: float = 0.0,
+    leaky_mode: str = "stationary",
 ) -> jnp.ndarray:
-    """LF-MMI per-example loss from logits [B, T, V]."""
+    """LF-MMI per-example loss from logits [B, T, V].
+
+    ``leaky_hmm_coefficient`` > 0 enables the leaky-HMM denominator
+    (reference lf_mmi_loss.py:28-31 default 1e-5; kaldi chain-denominator):
+    every state leaks to every other state with probability
+    coeff · pi(dest), which smooths the denominator and avoids numerical
+    die-off on long utterances."""
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if leaky_hmm_coefficient > 0.0:
+        pi = graph.leaky_probs(leaky_mode)
+        log_leak = jnp.asarray(
+            np.log(leaky_hmm_coefficient) + np.log(np.maximum(pi, 1e-30))
+        )
+    else:
+        log_leak = None
     graph_arrays = (
         jnp.asarray(graph.from_state),
         jnp.asarray(graph.to_state),
         jnp.asarray(graph.pdf),
         jnp.asarray(graph.weight),
         jnp.asarray(graph.final_weights),
+        log_leak,
     )
     return chain_loss_from_log_probs(lp, targets, lengths, graph_arrays)

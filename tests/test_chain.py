@@ -137,3 +137,84 @@ def test_lf_mmi_training_e2e(tmp_path):
         ]
     )
     assert np.isfinite(stats["loss"])
+
+
+def _brute_den_leaky(g, lpb, L, coeff, pi):
+    """Brute-force leaky-HMM denominator: explicit alpha over all states with
+    the per-frame leak alpha'(s) = alpha(s) + coeff*pi(s)*sum(alpha)."""
+    S = g.num_states
+    arcs = list(zip(g.from_state, g.to_state, g.pdf, g.weight))
+    alpha = np.full(S, -np.inf)
+    alpha[0] = 0.0
+    for t in range(L):
+        tot = np.logaddexp.reduce(alpha)
+        dash = np.logaddexp(alpha, np.log(coeff) + np.log(pi) + tot)
+        new = np.full(S, -np.inf)
+        for f, to, p, w in arcs:
+            new[to] = np.logaddexp(new[to], dash[f] + w + lpb[t, p])
+        alpha = new
+    fin = np.where(g.final_weights > -1e29, g.final_weights, -np.inf)
+    return np.logaddexp.reduce(alpha + fin)
+
+
+def test_leaky_probs_modes():
+    g = _graph()
+    for mode in ("uniform", "transition", "stationary"):
+        pi = g.leaky_probs(mode)
+        assert pi.shape == (g.num_states,)
+        assert abs(pi.sum() - 1.0) < 1e-5
+        assert (pi >= 0).all()
+    assert np.allclose(g.leaky_probs("uniform"), 1.0 / g.num_states)
+
+
+def test_chain_loss_leaky_matches_bruteforce():
+    g = _graph()
+    rng = np.random.default_rng(2)
+    B, T, V = 2, 5, 4
+    coeff = 0.1  # large leak so the test is sensitive
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    lengths = np.array([5, 4])
+    targets = rng.integers(0, V, (B, T)).astype(np.int32)
+    loss = np.asarray(
+        chain_loss(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(lengths),
+            g, leaky_hmm_coefficient=coeff, leaky_mode="stationary",
+        )
+    )
+    loss_noleak = np.asarray(
+        chain_loss(
+            jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(lengths), g
+        )
+    )
+    pi = g.leaky_probs("stationary").astype(np.float64)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1), np.float64)
+    for b, L in enumerate(lengths):
+        den = _brute_den_leaky(g, lp[b], L, coeff, pi)
+        num = sum(lp[b, t, targets[b, t]] for t in range(L) if targets[b, t] >= 0)
+        assert abs(loss[b] - (-(num - den))) < 1e-3
+        # the leak adds paths: denominator must grow -> loss grows
+        assert loss[b] > loss_noleak[b]
+
+
+def test_chain_loss_leaky_gradcheck():
+    g = _graph()
+    rng = np.random.default_rng(3)
+    B, T, V = 2, 4, 4
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    lengths = np.array([4, 3])
+    targets = rng.integers(0, V, (B, T)).astype(np.int32)
+    fs = jax.jit(
+        lambda x: chain_loss(
+            x, jnp.asarray(targets), jnp.asarray(lengths), g,
+            leaky_hmm_coefficient=0.05,
+        ).sum()
+    )
+    gr = jax.grad(fs)(jnp.asarray(logits))
+    eps = 1e-2
+    for idx in [(0, 0, 1), (0, 2, 3), (1, 1, 0), (1, 2, 2)]:
+        e = np.zeros_like(logits)
+        e[idx] = eps
+        numg = (fs(jnp.asarray(logits + e)) - fs(jnp.asarray(logits - e))) / (
+            2 * eps
+        )
+        assert abs(float(gr[idx]) - float(numg)) < 1e-2
