@@ -41,6 +41,11 @@ class DenominatorGraph:
 
     @staticmethod
     def load(path: str) -> "DenominatorGraph":
+        if path.endswith(".fst"):
+            return DenominatorGraph.from_fst_binary(path)
+        if path.endswith(".txt"):
+            with open(path) as f:
+                return DenominatorGraph.from_fst_text(f.read())
         z = np.load(path)
         return DenominatorGraph(
             from_state=z["from_state"].astype(np.int32),
@@ -91,6 +96,122 @@ class DenominatorGraph:
                 break
             pi = nxt / total
         return pi.astype(np.float32)
+
+    @staticmethod
+    def from_fst_binary(path: str) -> "DenominatorGraph":
+        """Read an OpenFst binary ``StdVectorFst`` (the on-disk format of
+        kaldi's den.fst; what pychain's simplefst.StdVectorFst.read loads —
+        reference lf_mmi_loss.py:148-154). Handles an optional Kaldi
+        ``\\0B`` binary-stream marker. Arc ilabels are pdf-id + 1; weights
+        are tropical -log probs (negated on load, matching from_fst_text)."""
+        import struct
+
+        with open(path, "rb") as f:
+            data = f.read()
+        off = 0
+        if data[:2] == b"\x00B":  # kaldi binary marker
+            off = 2
+
+        def u32():
+            nonlocal off
+            (v,) = struct.unpack_from("<i", data, off)
+            off += 4
+            return v
+
+        def u64():
+            nonlocal off
+            (v,) = struct.unpack_from("<q", data, off)
+            off += 8
+            return v
+
+        def f32():
+            nonlocal off
+            (v,) = struct.unpack_from("<f", data, off)
+            off += 4
+            return v
+
+        def string():
+            nonlocal off
+            n = u32()
+            s = data[off : off + n].decode()
+            off += n
+            return s
+
+        magic = u32()
+        if magic != 2125659606:
+            raise ValueError(f"not an OpenFst binary file (magic {magic})")
+        fsttype = string()
+        arctype = string()
+        if arctype != "standard":
+            raise ValueError(f"unsupported arc type {arctype!r}")
+        if fsttype != "vector":
+            raise ValueError(
+                f"unsupported fst type {fsttype!r} (convert to StdVectorFst,"
+                " e.g. `fstconvert --fst_type=vector`)"
+            )
+        version = u32()
+        _flags = u32()
+        _properties = u64()
+        start = u64()
+        num_states = u64()
+        _num_arcs = u64()
+        if num_states < 0:
+            raise ValueError("streaming-header fst not supported")
+        froms, tos, pdfs, weights = [], [], [], []
+        final_weights = np.full(num_states, NEG_INF, np.float32)
+        narcs_fmt = "<q" if version >= 2 else "<i"
+        narcs_size = 8 if version >= 2 else 4
+        for s in range(num_states):
+            fw = f32()
+            (narcs,) = struct.unpack_from(narcs_fmt, data, off)
+            off += narcs_size
+            if fw < np.float32(np.inf):
+                final_weights[s] = -fw
+            arr = np.frombuffer(
+                data,
+                dtype=np.dtype(
+                    [
+                        ("ilabel", "<i4"),
+                        ("olabel", "<i4"),
+                        ("weight", "<f4"),
+                        ("nextstate", "<i4"),
+                    ]
+                ),
+                count=narcs,
+                offset=off,
+            )
+            off += 16 * narcs
+            if narcs and (arr["ilabel"] == 0).any():
+                raise ValueError(
+                    "epsilon arcs in denominator fst (run fstrmepsilon first)"
+                )
+            froms.append(np.full(narcs, s, np.int32))
+            tos.append(arr["nextstate"].astype(np.int32))
+            pdfs.append(arr["ilabel"].astype(np.int32) - 1)
+            weights.append(-arr["weight"].astype(np.float32))
+        from_state = np.concatenate(froms) if froms else np.zeros(0, np.int32)
+        to_state = np.concatenate(tos) if tos else np.zeros(0, np.int32)
+        pdf = np.concatenate(pdfs) if pdfs else np.zeros(0, np.int32)
+        weight = np.concatenate(weights) if weights else np.zeros(0, np.float32)
+        if start not in (0, -1):
+            # our forward starts at state 0: swap `start` and 0 everywhere
+            sw = {0: int(start), int(start): 0}
+            remap = lambda a: np.asarray(
+                [sw.get(int(x), int(x)) for x in a], a.dtype
+            )
+            from_state = remap(from_state)
+            to_state = remap(to_state)
+            fw0 = final_weights[0]
+            final_weights[0] = final_weights[start]
+            final_weights[start] = fw0
+        return DenominatorGraph(
+            from_state=from_state,
+            to_state=to_state,
+            pdf=pdf,
+            weight=weight,
+            final_weights=final_weights,
+            num_states=int(num_states),
+        )
 
     @staticmethod
     def from_fst_text(text: str, num_pdfs: Optional[int] = None) -> "DenominatorGraph":

@@ -218,3 +218,51 @@ def test_chain_loss_leaky_gradcheck():
             2 * eps
         )
         assert abs(float(gr[idx]) - float(numg)) < 1e-2
+
+
+def test_from_fst_binary(tmp_path):
+    """Hand-written OpenFst StdVectorFst binary (magic 2125659606, version-2
+    layout) must parse to the same graph as the text format."""
+    import struct
+
+    g_txt = _graph()
+
+    def wstr(s):
+        return struct.pack("<i", len(s)) + s.encode()
+
+    arcs_by_state = {}
+    for f, t, p, w in zip(g_txt.from_state, g_txt.to_state, g_txt.pdf, g_txt.weight):
+        arcs_by_state.setdefault(int(f), []).append((int(p) + 1, int(p) + 1, -float(w), int(t)))
+    blob = struct.pack("<i", 2125659606)
+    blob += wstr("vector") + wstr("standard")
+    blob += struct.pack("<i", 2)  # version
+    blob += struct.pack("<i", 0)  # flags
+    blob += struct.pack("<q", 0)  # properties
+    blob += struct.pack("<q", 0)  # start
+    blob += struct.pack("<q", g_txt.num_states)
+    blob += struct.pack("<q", len(g_txt.from_state))
+    for s in range(g_txt.num_states):
+        fw = -float(g_txt.final_weights[s]) if g_txt.final_weights[s] > -1e29 else float("inf")
+        blob += struct.pack("<f", fw)
+        arcs = arcs_by_state.get(s, [])
+        blob += struct.pack("<q", len(arcs))
+        for il, ol, w, ns in arcs:
+            blob += struct.pack("<iifi", il, ol, w, ns)
+    p = tmp_path / "den.fst"
+    p.write_bytes(blob)
+
+    g_bin = DenominatorGraph.load(str(p))
+    assert g_bin.num_states == g_txt.num_states
+    # arcs may be reordered; compare as sorted tuples
+    key = lambda g: sorted(
+        zip(g.from_state.tolist(), g.to_state.tolist(), g.pdf.tolist(),
+            np.round(g.weight, 5).tolist())
+    )
+    assert key(g_bin) == key(g_txt)
+    assert np.allclose(g_bin.final_weights, g_txt.final_weights)
+
+    # kaldi \0B-wrapped variant parses too
+    p2 = tmp_path / "den_kaldi.fst"
+    p2.write_bytes(b"\x00B" + blob)
+    g_k = DenominatorGraph.from_fst_binary(str(p2))
+    assert key(g_k) == key(g_txt)
