@@ -43,7 +43,12 @@ def main(argv=None):
         stream=sys.stdout,
     )
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
-    # dumping uses whole utterances regardless of chunked training
+    # chunk-trained models are dumped chunk-by-chunk and re-stitched
+    # (reference dump_posteriors.py:185-218); the dataset itself loads whole
+    # utterances
+    chunk_w = cfg.task.chunk_width or 0
+    chunk_left = cfg.task.chunk_left_context or 0
+    chunk_right = cfg.task.chunk_right_context or 0
     cfg.task.chunk_width = 0
     task = setup_task(cfg)
     ds = task.load_dataset(cfg.dataset.gen_subset)
@@ -91,26 +96,81 @@ def main(argv=None):
             lprobs = lprobs - log_prior
         return lprobs, enc.src_lengths
 
+    @jax.jit
+    def forward_chunks(variables, frames):
+        # frames: [C, left + w + right, F] -> central label window lprobs
+        lengths = jnp.full((frames.shape[0],), frames.shape[1], jnp.int32)
+        logits, _ = model.apply(variables, frames, lengths)
+        lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lprobs = jax.lax.dynamic_slice_in_dim(lprobs, chunk_left, chunk_w, 1)
+        if log_prior is not None:
+            lprobs = lprobs - log_prior
+        return lprobs
+
+    def dump_chunked(f, utt_id, mat):
+        """Sequential chunks with replicate-padded context, batched in one
+        forward; label windows concatenate back to the whole utterance."""
+        L = len(mat)
+        starts = list(range(0, max(L, 1), chunk_w))
+        chunks = []
+        for s in starts:
+            begin = max(0, s - chunk_left)
+            end = s + chunk_w + chunk_right
+            src = mat[begin:end]
+            lp_pad = max(0, chunk_left - s)
+            rp_pad = max(0, end - L)
+            if lp_pad or rp_pad:
+                src = np.concatenate(
+                    [
+                        np.repeat(src[:1], lp_pad, 0),
+                        src,
+                        np.repeat(src[-1:], rp_pad, 0),
+                    ]
+                )
+            chunks.append(src)
+        C = len(chunks)
+        # pad chunk count to a multiple of 8 to bound compiled shapes
+        C_pad = ((C + 7) // 8) * 8
+        frames = np.zeros((C_pad,) + chunks[0].shape, np.float32)
+        frames[:C] = np.stack(chunks)
+        lprobs = np.asarray(forward_chunks(variables, jnp.asarray(frames)))
+        whole = lprobs[:C].reshape(C * chunk_w, -1)[:L]
+        kaldi_io.write_mat(f, whole, key=utt_id)
+
     wx = cfg.generation.results_path or "posteriors.ark"
     f = kaldi_io.open_or_fd(wx.lstrip("ark:") if wx.startswith("ark:") else wx, "wb")
     num = 0
     try:
-        for spec in specs:
-            batch = ds.collate(spec)
-            lprobs, out_lengths = forward(
-                variables,
-                jnp.asarray(batch["src_frames"]),
-                jnp.asarray(batch["src_lengths"]),
-            )
-            lprobs = np.asarray(lprobs)
-            out_lengths = np.asarray(out_lengths)
-            for b in range(lprobs.shape[0]):
-                if batch["weight"][b] <= 0:
-                    continue
-                kaldi_io.write_mat(
-                    f, lprobs[b, : out_lengths[b]], key=batch["utt_ids"][b]
+        if chunk_w > 0:
+            for spec in specs:
+                batch = ds.collate(spec)
+                for b in range(len(batch["utt_ids"])):
+                    if batch["weight"][b] <= 0:
+                        continue
+                    L = int(batch["src_lengths"][b])
+                    dump_chunked(
+                        f,
+                        batch["utt_ids"][b],
+                        batch["src_frames"][b][:L],
+                    )
+                    num += 1
+        else:
+            for spec in specs:
+                batch = ds.collate(spec)
+                lprobs, out_lengths = forward(
+                    variables,
+                    jnp.asarray(batch["src_frames"]),
+                    jnp.asarray(batch["src_lengths"]),
                 )
-                num += 1
+                lprobs = np.asarray(lprobs)
+                out_lengths = np.asarray(out_lengths)
+                for b in range(lprobs.shape[0]):
+                    if batch["weight"][b] <= 0:
+                        continue
+                    kaldi_io.write_mat(
+                        f, lprobs[b, : out_lengths[b]], key=batch["utt_ids"][b]
+                    )
+                    num += 1
     finally:
         f.close()
     logger.info("dumped posteriors for %d utterances to %s", num, wx)

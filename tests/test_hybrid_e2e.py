@@ -125,3 +125,34 @@ def test_hybrid_with_state_prior(tmp_path):
     for mat in mats.values():
         lse = np.log(np.exp(mat - np.log(NUM_PDF)).sum(axis=1))
         assert np.abs(lse).max() < 1e-3
+
+
+def test_chunked_dump_matches_whole(tmp_path):
+    """Chunk-wise dumped posteriors re-stitched must equal a whole-utterance
+    dump wherever the TDNN receptive field (radius 2 here) fits inside the
+    chunk context (5 frames): i.e. everywhere except the utterance edges,
+    which differ by replicate- vs zero-padding."""
+    from espresso_tpu.cli.dump_posteriors import main as dump_main
+    from espresso_tpu.cli.train import main as train_main
+
+    d = str(tmp_path)
+    make_hybrid_corpus(d, "train", num_utts=6, seed=0)
+    make_hybrid_corpus(d, "valid", num_utts=2, seed=1)
+    make_hybrid_corpus(d, "test", num_utts=2, seed=2)
+
+    args = [f"dataset.data={d}", f"checkpoint.save_dir={d}/ckpt"] + ARGS
+    train_main(args + ["optimization.max_epoch=1"])
+    chunked_ark = os.path.join(d, "post_chunked.ark")
+    whole_ark = os.path.join(d, "post_whole.ark")
+    dump_main(args + ["dataset.gen_subset=test",
+                      f"generation.results_path={chunked_ark}"])
+    dump_main(args + ["dataset.gen_subset=test", "task.chunk_width=0",
+                      f"generation.results_path={whole_ark}"])
+    chunked = dict(kaldi_io.read_mat_ark(chunked_ark))
+    whole = dict(kaldi_io.read_mat_ark(whole_ark))
+    assert set(chunked) == set(whole)
+    radius = 2
+    for utt in whole:
+        assert chunked[utt].shape == whole[utt].shape, utt
+        err = np.abs(chunked[utt][radius:-radius] - whole[utt][radius:-radius]).max()
+        assert err < 1e-4, (utt, err)
