@@ -81,6 +81,13 @@ class DatasetConfig:
     sample_rate: int = 16000
     global_cmvn_stats_path: Optional[str] = None
     specaugment_config: Optional[str] = None
+    # train-time transforms (fairseq feature/waveform transform registries)
+    speed_perturb: Optional[List[float]] = None  # e.g. [0.9, 1.0, 1.1]
+    delta_deltas: bool = False  # append d/dd coefficients (3x feat dim)
+    noise_augment_path: Optional[str] = None  # dir of noise .wav files
+    noise_snr_min: float = 5.0
+    noise_snr_max: float = 15.0
+    noise_rate: float = 0.25
     # batch on src_len*tgt_len product (transducer memory batching,
     # reference asr_dataset.py:369-382)
     batch_based_on_both_src_tgt: bool = False

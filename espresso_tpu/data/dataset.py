@@ -62,6 +62,11 @@ class AsrDataset:
         tokenizer=None,
         global_cmvn_stats_path: Optional[str] = None,
         device_features: bool = False,
+        speed_perturb_rates: Optional[Sequence[float]] = None,
+        apply_delta_deltas: bool = False,
+        noise_augment=None,
+        transforms_seed: int = 1,
+        is_train: bool = False,
     ):
         self.entries = list(entries)
         self.dict = dictionary
@@ -71,6 +76,16 @@ class AsrDataset:
         self.autoregressive = autoregressive
         self.prepend_bos = prepend_bos_as_input_feeding
         self.tokenizer = tokenizer
+        # train-time transforms (fairseq waveform/feature transform parity);
+        # waveform transforms apply to wave/command entries only
+        self.speed_rates = (
+            list(speed_perturb_rates)
+            if (is_train and speed_perturb_rates)
+            else None
+        )
+        self.apply_delta_deltas = apply_delta_deltas
+        self.noise_augment = noise_augment if is_train else None
+        self.transforms_seed = transforms_seed
         self.cmvn_mean = self.cmvn_std = None
         if global_cmvn_stats_path:
             stats = np.load(global_cmvn_stats_path)
@@ -96,6 +111,11 @@ class AsrDataset:
             ],
             dtype=np.int64,
         )
+        if self.speed_rates is not None and min(self.speed_rates) < 1.0:
+            # plan buckets for the worst-case stretch so slowed-down
+            # utterances are never truncated
+            stretch = 1.0 / min(self.speed_rates)
+            self.src_sizes = np.ceil(self.src_sizes * stretch).astype(np.int64)
         self.tgt_sizes = np.array(
             [len(t) for t in self.targets], dtype=np.int64
         )
@@ -137,29 +157,55 @@ class AsrDataset:
         return len(self.entries)
 
     # -- feature access -----------------------------------------------------
-    def get_features(self, index: int) -> np.ndarray:
-        if self._feat_cache is not None and index in self._feat_cache:
+    def _stochastic(self) -> bool:
+        return self.speed_rates is not None or self.noise_augment is not None
+
+    def get_features(self, index: int, epoch: int = 1) -> np.ndarray:
+        use_cache = self._feat_cache is not None and not self._stochastic()
+        if use_cache and index in self._feat_cache:
             self._feat_cache.move_to_end(index)
             return self._feat_cache[index]
-        mat = self._load_features(index)
-        if self._feat_cache is not None:
+        mat = self._load_features(index, epoch)
+        if use_cache:
             self._feat_cache[index] = mat
             if len(self._feat_cache) > self._feat_cache_max:
                 self._feat_cache.popitem(last=False)
         return mat
 
-    def _load_features(self, index: int) -> np.ndarray:
+    def _transform_waveform(
+        self, wav: np.ndarray, sr: int, index: int, epoch: int
+    ) -> np.ndarray:
+        if self.speed_rates is not None:
+            from espresso_tpu.features.transforms import (
+                choose_speed_rate,
+                speed_perturb,
+            )
+
+            rate = choose_speed_rate(
+                self.speed_rates, self.transforms_seed, epoch, index
+            )
+            wav = speed_perturb(wav, rate)
+        if self.noise_augment is not None:
+            wav = self.noise_augment(wav, sr, epoch, index)
+        return wav
+
+    def _load_features(self, index: int, epoch: int = 1) -> np.ndarray:
         e = self.entries[index]
         if e.kind == "feat":
             mat = kaldi_io.read_mat(e.audio)
         else:
             wav, sr = read_audio(e.audio, e.kind)
+            wav = self._transform_waveform(wav, sr, index, epoch)
             if self.feature_type == "mfcc":
                 mat = mfcc_numpy(wav, sample_rate=sr, num_mel_bins=self.feat_dim)
             else:
                 mat = fbank_numpy(wav, sample_rate=sr, num_mel_bins=self.feat_dim)
         if self.cmvn_mean is not None:
             mat = (mat - self.cmvn_mean) / self.cmvn_std
+        if self.apply_delta_deltas:
+            from espresso_tpu.features.transforms import delta_deltas_np
+
+            mat = delta_deltas_np(mat)
         return mat
 
     # -- sizes for batching ---------------------------------------------------
@@ -338,6 +384,7 @@ class AsrDataset:
         for row, idx in enumerate(spec.indices):
             e = self.entries[int(idx)]
             wav, sr = read_audio(e.audio, e.kind)
+            wav = self._transform_waveform(wav, sr, int(idx), epoch)
             L = min(len(wav), S)
             wavs[row, :L] = wav[:L]
             num_samples[row] = L
@@ -395,7 +442,8 @@ class AsrDataset:
             return self._collate_waveforms(spec, epoch)
         B = len(spec.indices)
         T, U = spec.src_bucket, spec.tgt_bucket
-        feats = np.zeros((B, T, self.feat_dim), dtype=np.float32)
+        out_dim = self.feat_dim * (3 if self.apply_delta_deltas else 1)
+        feats = np.zeros((B, T, out_dim), dtype=np.float32)
         src_lengths = np.zeros(B, dtype=np.int32)
         pad = self.dict.pad() if self.dict is not None else 0
         eos = self.dict.eos() if self.dict is not None else 0
@@ -404,7 +452,7 @@ class AsrDataset:
         tgt_lengths = np.zeros(B, dtype=np.int32)
         utt_ids: List[str] = []
         for row, idx in enumerate(spec.indices):
-            mat = self.get_features(int(idx))
+            mat = self.get_features(int(idx), epoch)
             L = min(mat.shape[0], T)
             feats[row, :L] = mat[:L]
             src_lengths[row] = L

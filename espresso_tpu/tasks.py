@@ -65,6 +65,19 @@ class SpeechRecognitionEspressoTask:
             return self.datasets[split]
         entries = load_manifest(self.cfg.dataset.data, split)
         device_feats = self.cfg.dataset.feature_type == "device_fbank"
+        dcfg = self.cfg.dataset
+        is_train = split == dcfg.train_subset
+        noise = None
+        if is_train and dcfg.noise_augment_path:
+            from espresso_tpu.features.transforms import NoiseAugment
+
+            noise = NoiseAugment(
+                dcfg.noise_augment_path,
+                snr_min=dcfg.noise_snr_min,
+                snr_max=dcfg.noise_snr_max,
+                rate=dcfg.noise_rate,
+                seed=self.cfg.common.seed,
+            )
         ds = AsrDataset(
             entries,
             self.dictionary,
@@ -77,12 +90,22 @@ class SpeechRecognitionEspressoTask:
                 None if device_feats else self.cfg.dataset.global_cmvn_stats_path
             ),
             device_features=device_feats,
+            speed_perturb_rates=dcfg.speed_perturb,
+            apply_delta_deltas=dcfg.delta_deltas and not device_feats,
+            noise_augment=noise,
+            transforms_seed=self.cfg.common.seed,
+            is_train=is_train,
         )
-        # probe feat dim from the first utterance (reference :355-378)
-        probe = ds.get_features(0)
-        if probe.shape[1] != self.feat_dim:
-            logger.info("probed feat_dim=%d from data", probe.shape[1])
-            self.feat_dim = probe.shape[1]
+        if device_feats:
+            if dcfg.delta_deltas:
+                # deltas are appended on device after fbank
+                self.feat_dim = 3 * dcfg.feat_dim
+        else:
+            # probe feat dim from the first utterance (reference :355-378)
+            probe = ds.get_features(0)
+            if probe.shape[1] != self.feat_dim:
+                logger.info("probed feat_dim=%d from data", probe.shape[1])
+                self.feat_dim = probe.shape[1]
         self.datasets[split] = ds
         return ds
 

@@ -113,6 +113,10 @@ def make_device_feature_fn(cfg: EspressoConfig):
         )
         if cmvn is not None:
             frames = (frames - cmvn[0]) / cmvn[1]
+        if cfg.dataset.delta_deltas:
+            from espresso_tpu.features.transforms import delta_deltas
+
+            frames = delta_deltas(frames)
         out = dict(mb)
         out.pop("src_waveforms")
         out.pop("num_samples")
