@@ -110,6 +110,44 @@ def validate(cfg, task, model, criterion, valid_step, state, valid_itr, scorer_c
     return stats
 
 
+def _print_training_sample(model, state, task, group, num_updates):
+    """Log one sampled REF/PRD pair (reference
+    label_smoothed_cross_entropy_v2.py:186-212): greedy argmax of the
+    teacher-forced logits for a random row of the current batch."""
+    import numpy as np
+
+    dic = task.dictionary
+    frames = np.asarray(group["src_frames"][0])
+    lengths = np.asarray(group["src_lengths"][0])
+    prev = np.asarray(group["prev_output_tokens"][0])
+    target = np.asarray(group["target"][0])
+    weight = np.asarray(group["weight"][0])
+    real = np.nonzero(weight > 0)[0]
+    if len(real) == 0:
+        return
+    rng = np.random.default_rng(num_updates)
+    i = int(real[rng.integers(0, len(real))])
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    logits, _ = model.apply(
+        variables,
+        jnp.asarray(frames[i : i + 1]),
+        jnp.asarray(lengths[i : i + 1]),
+        jnp.asarray(prev[i : i + 1]),
+    )
+    pred = np.asarray(jnp.argmax(logits[0], axis=-1))
+    tgt = target[i]
+    keep = tgt != dic.pad()
+    ref_toks = tgt[keep]
+    pred_toks = pred[: len(tgt)][keep]
+    strip = lambda t: t[t != dic.eos()]
+    ref = dic.wordpiece_decode(dic.string(strip(ref_toks)))
+    prd = dic.wordpiece_decode(dic.string(strip(pred_toks)))
+    logger.info("sample REF: %s", ref)
+    logger.info("sample PRD: %s", prd)
+
+
 def main(argv=None) -> Dict[str, float]:
     logging.basicConfig(
         level=logging.INFO,
@@ -251,6 +289,8 @@ def main(argv=None) -> Dict[str, float]:
         cfg.common.log_format,
         cfg.common.tensorboard_logdir,
         tag="train",
+        wandb_project=cfg.common.wandb_project,
+        aim_repo=cfg.common.aim_repo,
     )
     max_epoch = cfg.optimization.max_epoch or 10**9
     max_update = cfg.optimization.max_update or 10**9
@@ -351,6 +391,17 @@ def _train_loop(
                 profiling = False
                 logger.info("profile trace written to %s/profile", cfg.checkpoint.save_dir)
             agg.update({k: float(v) for k, v in metrics.items()})
+            interval = cfg.criterion.print_training_sample_interval
+            if (
+                interval > 0
+                and num_updates % interval == 0
+                and getattr(task, "dictionary", None) is not None
+                and getattr(task, "autoregressive", False)
+                and "src_frames" in group
+            ):
+                _print_training_sample(
+                    model, state, task, group, num_updates
+                )
             if num_updates % cfg.common.log_interval == 0:
                 stats = agg.smoothed()
                 stats["lr"] = float(schedule(num_updates))

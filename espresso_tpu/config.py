@@ -33,6 +33,8 @@ class CommonConfig:
     log_interval: int = 100
     log_format: str = "simple"  # simple | json
     tensorboard_logdir: Optional[str] = None
+    wandb_project: Optional[str] = None  # reference --wandb-project
+    aim_repo: Optional[str] = None  # reference --aim-repo
     # numeric precision of the compute path; params are kept fp32
     dtype: str = "bfloat16"  # float32 | bfloat16
     # rematerialisation policy for encoder layers: none | full | dots
@@ -230,6 +232,9 @@ class CriterionSection:
     # leaky-HMM denominator smoothing (reference lf_mmi_loss.py:28-31)
     leaky_hmm_coefficient: float = 1e-5
     leaky_hmm_mode: str = "stationary"  # stationary | transition | uniform
+    # log a sampled REF/PRD pair every N updates (reference
+    # label_smoothed_cross_entropy_v2.py:31-35; 0 disables)
+    print_training_sample_interval: int = 0
 
 
 @dataclass

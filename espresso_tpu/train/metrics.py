@@ -81,6 +81,8 @@ class ProgressLogger:
         log_format: str = "simple",
         tensorboard_logdir: Optional[str] = None,
         tag: str = "train",
+        wandb_project: Optional[str] = None,
+        aim_repo: Optional[str] = None,
     ):
         self.log_interval = log_interval
         self.log_format = log_format
@@ -93,6 +95,27 @@ class ProgressLogger:
                 self._tb = flax_tb.SummaryWriter(tensorboard_logdir)
             except Exception:
                 logger.warning("tensorboard unavailable; skipping sink")
+        # optional experiment trackers (reference progress_bar.py
+        # WandBProgressBarWrapper / AimProgressBarWrapper) — gated on the
+        # packages being installed; silently skipped otherwise
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                if wandb.run is None:
+                    wandb.init(project=wandb_project, reinit=False)
+                self._wandb = wandb
+            except ImportError:
+                logger.warning("wandb not available; skipping sink")
+        self._aim = None
+        if aim_repo:
+            try:
+                from aim import Run as AimRun
+
+                self._aim = AimRun(repo=aim_repo)
+            except ImportError:
+                logger.warning("aim not available; skipping sink")
 
     def log(self, stats: Dict[str, float], step: int, epoch: int) -> None:
         if self.log_format == "json":
@@ -106,6 +129,15 @@ class ProgressLogger:
         if self._tb is not None:
             for k, v in stats.items():
                 self._tb.scalar(f"{self.tag}/{k}", v, step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {f"{self.tag}/{k}": v for k, v in stats.items()}, step=step
+            )
+        if self._aim is not None:
+            for k, v in stats.items():
+                self._aim.track(
+                    v, name=k, step=step, epoch=epoch, context={"tag": self.tag}
+                )
 
     def print_epoch(self, stats: Dict[str, float], epoch: int) -> None:
         parts = [f"end of epoch {epoch:03d}"]

@@ -168,3 +168,35 @@ def test_keep_best_checkpoints(tmp_path):
     assert len(kept) == 2
     assert any("2.0000_4" in n for n in kept)
     assert any("3.0000_2" in n for n in kept)
+
+
+def test_print_training_sample(tmp_path, caplog):
+    """print_training_sample_interval logs REF/PRD pairs during training
+    (reference label_smoothed_cross_entropy_v2.py:186-212)."""
+    import logging
+
+    from espresso_tpu.cli.train import main as train_main
+    from tests.utils import make_corpus
+
+    d = str(tmp_path)
+    make_corpus(d, "train", num_utts=8, feat_dim=8, seed=0, max_words=3)
+    make_corpus(d, "valid", num_utts=4, feat_dim=8, seed=1, max_words=3)
+    args = [
+        f"dataset.data={d}", f"checkpoint.save_dir={d}/ckpt",
+        "dataset.max_tokens=1600", "dataset.num_batch_buckets=1",
+        "dataset.required_batch_size_multiple=2", "dataset.feat_dim=8",
+        "model.name=speech_lstm", "model.conv_channels=(4,)",
+        "model.conv_kernel_sizes=((3,3),)", "model.conv_strides=((2,2),)",
+        "model.encoder_hidden_size=16", "model.encoder_layers=1",
+        "model.decoder_embed_dim=8", "model.decoder_hidden_size=16",
+        "model.decoder_out_embed_dim=16", "model.decoder_layers=1",
+        "model.attention_dim=16", "model.dropout=0.0",
+        "criterion.print_training_sample_interval=1",
+        "optimization.max_epoch=1", "optimization.lr=0.003",
+        "common.log_interval=5", "common.dtype=float32",
+    ]
+    with caplog.at_level(logging.INFO, logger="espresso_tpu.train"):
+        train_main(args)
+    msgs = [r.message for r in caplog.records]
+    assert any(m.startswith("sample REF:") for m in msgs), msgs[-5:]
+    assert any(m.startswith("sample PRD:") for m in msgs)
