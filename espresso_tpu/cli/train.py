@@ -167,9 +167,22 @@ def main(argv=None) -> Dict[str, float]:
         cfg.distributed.process_id,
     )
     mesh = make_mesh(
-        cfg.distributed.data_parallel_size, cfg.distributed.model_parallel_size
+        cfg.distributed.data_parallel_size,
+        cfg.distributed.model_parallel_size,
+        cfg.distributed.pipeline_parallel_size,
     )
     logger.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
+    if cfg.distributed.pipeline_parallel_size > 1:
+        # transducer models carry the encoder config in model.encoder.*
+        section = (
+            cfg.model.setdefault("encoder", {})
+            if "transducer" in cfg.model.get("name", "")
+            else cfg.model
+        )
+        section["pipeline_stages"] = cfg.distributed.pipeline_parallel_size
+        section["pipeline_microbatches"] = (
+            cfg.distributed.pipeline_microbatches
+        )
 
     task = setup_task(cfg)
     train_ds = task.load_dataset(cfg.dataset.train_subset)
@@ -234,6 +247,7 @@ def main(argv=None) -> Dict[str, float]:
         mesh,
         fsdp=cfg.distributed.fsdp,
         tensor_parallel=cfg.distributed.model_parallel_size > 1,
+        pipeline=cfg.distributed.pipeline_parallel_size > 1,
     )
     state = state.replace(
         params=jax.device_put(state.params, param_shardings),

@@ -56,6 +56,11 @@ class DistributedConfig:
     # shard parameters/optimizer state over the data axis (ZeRO-3 analogue of
     # the reference's fully_sharded backend, fully_sharded_data_parallel.py:23)
     fsdp: bool = False
+    # GPipe pipeline parallelism over encoder layers (reference
+    # --pipeline-model-parallel, configs.py:376-434); requires a
+    # speech_transformer-family model with encoder_layers divisible by it
+    pipeline_parallel_size: int = 1
+    pipeline_microbatches: int = 4
     # multi-host init (jax.distributed.initialize) — no-op single host
     coordinator_address: Optional[str] = None
     num_processes: int = 1

@@ -84,6 +84,50 @@ class SpeechTransformerConfig:
     max_target_positions: int = 1024
     dropout: float = 0.1
     pad_index: int = 1
+    # GPipe pipeline parallelism over the 'stage' mesh axis: encoder layers
+    # are stacked (leading layer axis, sharded on 'stage') and scheduled
+    # with parallel/pipeline.gpipe. Set by the train CLI from
+    # distributed.pipeline_parallel_size.
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 4
+
+
+class _PipeLayerBody(nn.Module):
+    """One homogeneous encoder layer, wrapped into nn.scan's
+    (carry, ...) -> (carry, None) shape so pipeline configs materialize
+    their parameters with a stacked leading layer axis."""
+
+    cfg: SpeechTransformerConfig
+
+    @nn.compact
+    def __call__(self, x, padding_mask, attn_mask, rel_pos, train):
+        cfg = self.cfg
+        x = _make_encoder_layer(cfg, name="layer")(
+            x, padding_mask, attn_mask, rel_pos, train
+        )
+        return x, None
+
+
+def _make_encoder_layer(cfg: SpeechTransformerConfig, name: str):
+    if cfg.encoder_layer_type == "conformer":
+        return ConformerEncoderLayer(
+            cfg.encoder_embed_dim,
+            cfg.encoder_ffn_dim,
+            cfg.encoder_heads,
+            depthwise_kernel_size=cfg.depthwise_conv_kernel_size,
+            dropout=cfg.dropout,
+            use_relative_pos=cfg.encoder_pos_type == "relative",
+            conv_norm_type=cfg.conformer_norm_type,
+            name=name,
+        )
+    return TransformerEncoderLayer(
+        cfg.encoder_embed_dim,
+        cfg.encoder_ffn_dim,
+        cfg.encoder_heads,
+        dropout=cfg.dropout,
+        use_relative_pos=cfg.encoder_pos_type == "relative",
+        name=name,
+    )
 
 
 class SpeechTransformerEncoder(nn.Module):
@@ -140,6 +184,17 @@ class SpeechTransformerEncoder(nn.Module):
                 cfg.context_right if cfg.context_right >= 0 else None,
             )
 
+        if cfg.pipeline_stages > 1:
+            x = self._pipelined_layers(
+                x, padding_mask, attn_mask, rel_pos, train
+            )
+            x = nn.LayerNorm(name="final_norm")(x)
+            return EncoderOut(
+                encoder_out=x,
+                encoder_padding_mask=padding_mask,
+                src_lengths=lengths,
+            )
+
         conformer_cls = ConformerEncoderLayer
         transformer_cls = TransformerEncoderLayer
         if cfg.remat:
@@ -170,6 +225,80 @@ class SpeechTransformerEncoder(nn.Module):
         return EncoderOut(
             encoder_out=x, encoder_padding_mask=padding_mask, src_lengths=lengths
         )
+
+    def _pipelined_layers(self, x, padding_mask, attn_mask, rel_pos, train):
+        """GPipe schedule over the 'stage' mesh axis: params materialize
+        via nn.scan (stacked [L, ...]); at apply time the stack runs through
+        parallel/pipeline.gpipe with microbatches (reference
+        fairseq/model_parallel pipeline transformer, re-designed TPU-first:
+        shard_map + ppermute instead of torch Pipe)."""
+        cfg = self.cfg
+        L, S = cfg.encoder_layers, cfg.pipeline_stages
+        assert L % S == 0, (L, S)
+        if cfg.encoder_layer_type == "conformer":
+            assert cfg.conformer_norm_type != "batch", (
+                "pipelined conformer needs conformer_norm_type=layer"
+                " (batch stats don't ride the pipeline)"
+            )
+        ScanLayers = nn.scan(
+            _PipeLayerBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast,) * 4,
+            length=L,
+        )
+        if self.is_initializing():
+            x, _ = ScanLayers(cfg, name="pipe_layers")(
+                x, padding_mask, attn_mask, rel_pos, train
+            )
+            return x
+        from espresso_tpu.parallel.mesh import get_global_mesh
+        from espresso_tpu.parallel.pipeline import gpipe
+
+        mesh = get_global_mesh()
+        stacked = self.variables["params"]["pipe_layers"]
+        per_stage = jax.tree_util.tree_map(
+            lambda a: a.reshape(S, L // S, *a.shape[1:]), stacked
+        )
+        use_dropout = train and cfg.dropout > 0.0 and self.has_rng("dropout")
+        base_key = self.make_rng("dropout") if use_dropout else None
+        layer_mod = _make_encoder_layer(cfg, name=None)
+        B = x.shape[0]
+        M = min(cfg.pipeline_microbatches, B)
+        while B % M != 0:
+            M -= 1
+        mb_idx = jnp.repeat(jnp.arange(M, dtype=jnp.int32), B // M)
+
+        def stage_fn(p_stage, payload, const):
+            xx, pm, idx = payload
+            a_mask, rp, key = const
+            s = jax.lax.axis_index("stage")
+            for j in range(L // S):
+                p_j = jax.tree_util.tree_map(lambda a: a[j], p_stage)
+                rngs = None
+                if key is not None:
+                    k = jax.random.fold_in(key, s * 8191 + j)
+                    rngs = {"dropout": jax.random.fold_in(k, idx[0])}
+                xx = layer_mod.apply(
+                    {"params": p_j["layer"]},
+                    xx,
+                    pm,
+                    a_mask,
+                    rp,
+                    train,
+                    rngs=rngs,
+                )
+            return xx, pm, idx
+
+        out, _, _ = gpipe(
+            stage_fn,
+            per_stage,
+            (x, padding_mask, mb_idx),
+            num_microbatches=M,
+            mesh=mesh,
+            const=(attn_mask, rel_pos, base_key),
+        )
+        return out
 
 
 class TransformerDecoderLayer(nn.Module):

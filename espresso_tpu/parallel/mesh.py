@@ -31,18 +31,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     data_parallel_size: int = -1,
     model_parallel_size: int = 1,
+    pipeline_parallel_size: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    mp = model_parallel_size * pipeline_parallel_size
     if data_parallel_size == -1:
-        assert n % model_parallel_size == 0, (n, model_parallel_size)
-        data_parallel_size = n // model_parallel_size
-    assert data_parallel_size * model_parallel_size == n, (
-        f"mesh {data_parallel_size}x{model_parallel_size} != {n} devices"
+        assert n % mp == 0, (n, model_parallel_size, pipeline_parallel_size)
+        data_parallel_size = n // mp
+    want = data_parallel_size * mp
+    assert want <= n, (
+        f"mesh {data_parallel_size}x{model_parallel_size}"
+        f"x{pipeline_parallel_size} needs {want} devices, have {n}"
     )
-    arr = np.asarray(devices).reshape(data_parallel_size, model_parallel_size)
-    return Mesh(arr, axis_names=("data", "model"))
+    devices = devices[:want]  # explicit sizes may use a device subset
+    arr = np.asarray(devices).reshape(
+        data_parallel_size, model_parallel_size, pipeline_parallel_size
+    )
+    mesh = Mesh(arr, axis_names=("data", "model", "stage"))
+    set_global_mesh(mesh)
+    return mesh
+
+
+_GLOBAL_MESH: Optional[Mesh] = None
+
+
+def set_global_mesh(mesh: Optional[Mesh]) -> None:
+    """Register the session mesh so model internals (e.g. the pipelined
+    encoder's shard_map) can reach it without threading it through configs."""
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def get_global_mesh() -> Mesh:
+    if _GLOBAL_MESH is None:
+        raise RuntimeError("no global mesh set; call make_mesh first")
+    return _GLOBAL_MESH
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -85,10 +110,12 @@ def partition_params(
     mesh: Mesh,
     fsdp: bool = False,
     tensor_parallel: bool = False,
+    pipeline: bool = False,
 ) -> Any:
     """Return a NamedSharding pytree matching ``params``."""
     data_size = mesh.shape["data"]
     model_size = mesh.shape["model"]
+    stage_size = mesh.shape.get("stage", 1)
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
@@ -98,6 +125,16 @@ def partition_params(
             getattr(k, "key", getattr(k, "name", str(k))) for k in path
         )
         spec = P()
+        if (
+            pipeline
+            and stage_size > 1
+            and "pipe_layers" in path_str
+            and leaf.shape
+            and leaf.shape[0] % stage_size == 0
+        ):
+            # stacked encoder layers: leading layer axis over 'stage'
+            shardings.append(NamedSharding(mesh, P("stage")))
+            continue
         if tensor_parallel and model_size > 1:
             for pattern, tp_spec in TP_RULES:
                 if re.match(pattern, path_str):

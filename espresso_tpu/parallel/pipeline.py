@@ -29,75 +29,110 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def gpipe(
     stage_fn: Callable,
     stage_params,
-    x: jnp.ndarray,
+    x,
     num_microbatches: int,
     mesh: Mesh,
     stage_axis: str = "stage",
+    const=None,
 ) -> jnp.ndarray:
     """Run x through S pipelined stages.
 
     stage_params: pytree whose leaves have a leading axis of size S
       (sharded over ``stage_axis``).
-    x: [B, ...] with B divisible by num_microbatches (replicated).
-    Returns y: [B, ...] (replicated), equal to applying the stages in order.
+    x: array or pytree of arrays, all [B, ...] with B divisible by
+      num_microbatches (replicated). ``stage_fn(params, payload)`` must
+      return a payload with the same structure.
+    const: optional replicated pytree handed to every stage_fn call
+      (``stage_fn(params, payload, const)``), for per-batch constants such
+      as attention masks or positional tables.
+    Returns y (replicated) equal to applying the stages in order.
     """
     S = mesh.shape[stage_axis]
-    B = x.shape[0]
+    leaves = jax.tree_util.tree_leaves(x)
+    B = leaves[0].shape[0]
     M = num_microbatches
     assert B % M == 0, (B, M)
     mb = B // M
-    x_mb = x.reshape(M, mb, *x.shape[1:])
+    x_mb = jax.tree_util.tree_map(
+        lambda a: a.reshape(M, mb, *a.shape[1:]), x
+    )
 
     param_specs = jax.tree_util.tree_map(
         lambda _: P(stage_axis), stage_params
     )
+    x_specs = jax.tree_util.tree_map(lambda _: P(), x)
+    const_specs = jax.tree_util.tree_map(lambda _: P(), const)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(param_specs, P()),
+        in_specs=(param_specs, x_specs, const_specs),
         out_specs=P(),
     )
-    def run(params_local, x_all):
+    def run(params_local, x_all, const_rep):
         # params_local leaves: [1, ...] (this stage's slice)
         params_here = jax.tree_util.tree_map(lambda p: p[0], params_local)
         s = jax.lax.axis_index(stage_axis)
         perm_fwd = [(i, i + 1) for i in range(S - 1)]
+
+        def mask_tree(pred, new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(pred, n, o), new, old
+            )
 
         def step(carry, t):
             buf_in, outputs = carry
             mb_idx = t - s
             active = (mb_idx >= 0) & (mb_idx < M)
             # stage 0 reads the microbatch; later stages read the handoff
-            feed = jnp.where(
-                (s == 0),
-                x_all[jnp.clip(t, 0, M - 1)],
-                buf_in,
+            mb_t = jax.tree_util.tree_map(
+                lambda a: a[jnp.clip(t, 0, M - 1)], x_all
             )
-            out = stage_fn(params_here, feed)
-            out = jnp.where(active, out, jnp.zeros_like(out))
+            feed = mask_tree(s == 0, mb_t, buf_in)
+            out = (
+                stage_fn(params_here, feed)
+                if const is None
+                else stage_fn(params_here, feed, const_rep)
+            )
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, out)
+            out = mask_tree(active, out, zeros)
             # hand off to the next stage
-            buf_next = jax.lax.ppermute(out, stage_axis, perm_fwd)
+            buf_next = jax.tree_util.tree_map(
+                lambda o: jax.lax.ppermute(o, stage_axis, perm_fwd), out
+            )
             # the last stage records finished microbatches
             write_idx = jnp.clip(mb_idx, 0, M - 1)
             take_new = (s == S - 1) & active
-            outputs = jnp.where(
-                take_new, outputs.at[write_idx].set(out), outputs
+            outputs = mask_tree(
+                take_new,
+                jax.tree_util.tree_map(
+                    lambda buf, o: buf.at[write_idx].set(o), outputs, out
+                ),
+                outputs,
             )
             return (buf_next, outputs), None
 
         # mark the carries as stage-varying for shard_map's type system
-        buf0 = jax.lax.pvary(jnp.zeros_like(x_all[0]), (stage_axis,))
-        outputs0 = jax.lax.pvary(jnp.zeros_like(x_all), (stage_axis,))
+        pvary = lambda tree: jax.tree_util.tree_map(
+            lambda a: jax.lax.pvary(jnp.zeros_like(a), (stage_axis,)), tree
+        )
+        buf0 = pvary(jax.tree_util.tree_map(lambda a: a[0], x_all))
+        outputs0 = pvary(x_all)
         (buf, outputs), _ = jax.lax.scan(
             step, (buf0, outputs0), jnp.arange(M + S - 1)
         )
         # outputs are valid only on the last stage; broadcast via psum
-        outputs = jnp.where(s == S - 1, outputs, jnp.zeros_like(outputs))
-        return jax.lax.psum(outputs, stage_axis)
+        outputs = mask_tree(
+            s == S - 1, outputs, jax.tree_util.tree_map(jnp.zeros_like, outputs)
+        )
+        return jax.tree_util.tree_map(
+            lambda o: jax.lax.psum(o, stage_axis), outputs
+        )
 
-    y_mb = run(stage_params, x_mb)
-    return y_mb.reshape(B, *x.shape[1:])
+    y_mb = run(stage_params, x_mb, const)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(B, *a.shape[2:]), y_mb
+    )
 
 
 def stack_stage_params(per_layer_params: list, layers_per_stage: int):

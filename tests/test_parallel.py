@@ -27,7 +27,7 @@ def _graft():
 
 def test_mesh_construction():
     mesh = make_mesh(4, 2)
-    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    assert dict(mesh.shape) == {"data": 4, "model": 2, "stage": 1}
     mesh = make_mesh(-1, 2)
     assert mesh.shape["data"] == len(jax.devices()) // 2
 
