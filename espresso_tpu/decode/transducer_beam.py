@@ -11,12 +11,18 @@ TPU re-design (replaces the reference's per-utterance Python loop
 :197-486 and tensor Hypotheses utilities transducer_utils.py:17-637):
 every utterance and every hypothesis advances in lockstep inside one
 ``lax.scan`` over frames with a statically unrolled expansion loop;
-hypothesis state is fixed-shape arrays (tokens [B,K,L], scores [B,K],
-prediction-net carries) and all selection is topk + gather. Identical
-token sequences in the next-frame pool are merged exactly: a rolling
-sequence hash rides the hypothesis state and equal-hash candidates
-logaddexp their scores (the reference prefix merge's equal-sequence
-case; prefix-extension merging is covered by the expansion rounds).
+hypothesis state is fixed-shape arrays (scores [B,K], prediction-net
+carries) and all selection is topk + gather. Token sequences are NOT
+materialized in the forward scan: each frame emits backpointers (merge
+source + expansion source/token, a few [B,K] int arrays) and a second,
+reverse device scan reconstructs the winning sequences — this keeps
+multi-megabyte token buffers out of the scan carry (HBM traffic was the
+decode bottleneck, not FLOPs) and transfers only compact int16 tokens
+over the slow host link. Identical token
+sequences in the next-frame pool are merged exactly: a rolling sequence
+hash rides the hypothesis state and equal-hash candidates logaddexp
+their scores (the reference prefix merge's equal-sequence case;
+prefix-extension merging is covered by the expansion rounds).
 
 Optional shallow LM fusion with blank-less index shifting is applied on
 label expansions only (reference transducer_base_decoder.py:85-104).
@@ -93,6 +99,9 @@ class TransducerBeamSearchDecoder:
         self._jitted: Dict[Tuple, Any] = {}
 
     def _search_fn(self, T: int, L_max: int):
+        assert len(self.dict) < 32768, (
+            "int16 token packing assumes vocab < 32768"
+        )
         model, blank, K = self.model, self.blank, self.beam
         eos = self.dict.eos()
         predicts_eos = self.model_predicts_eos
@@ -130,8 +139,6 @@ class TransducerBeamSearchDecoder:
                 )
             else:
                 lm_state0 = None
-            tokens0 = jnp.zeros((B, K, L_max), jnp.int32)
-            lens0 = jnp.zeros((B, K), jnp.int32)
             hash0 = jnp.zeros((B, K), jnp.int32)  # rolling sequence hash
             # beam 0 live, others dead
             scores0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones(
@@ -144,8 +151,6 @@ class TransducerBeamSearchDecoder:
 
             def frame_step(carry, t):
                 (
-                    tokens,
-                    lens,
                     scores,
                     hashes,
                     pred_feat,
@@ -155,16 +160,17 @@ class TransducerBeamSearchDecoder:
                 enc_t = jnp.repeat(enc_proj[:, t], K, axis=0)  # [BK, J]
                 active_t = (t < enc.src_lengths)  # [B]
 
+                # backpointer emissions for the host-side backtrace
+                bp_fp, bp_msrc, bp_esrc, bp_etok = [], [], [], []
+
                 # pool of next-frame (blank-terminated) hyps
                 pool_scores = jnp.full((B, K), NEG_INF)
-                pool_tokens = tokens
-                pool_lens = lens
                 pool_hash = hashes
                 pool_feat = pred_feat
                 pool_carry = pred_carry
                 pool_lm = lm_state
 
-                exp_tokens, exp_lens, exp_scores = tokens, lens, scores
+                exp_scores = scores
                 exp_hash = hashes
                 exp_feat, exp_carry, exp_lm = pred_feat, pred_carry, lm_state
 
@@ -219,22 +225,10 @@ class TransducerBeamSearchDecoder:
                     take = jnp.take_along_axis(merged_idx, sel, axis=1)  # [B,K]
                     from_pool = take < K
                     src_slot = jnp.where(from_pool, take, take - K)
-                    # gather tokens/lens/state from pool or exp
+                    bp_fp.append(from_pool)
+                    bp_msrc.append(src_slot)
+                    # gather hash/state from pool or exp
                     bidx = jnp.arange(B)[:, None]
-                    new_pool_tokens = jnp.where(
-                        from_pool[..., None],
-                        jnp.take_along_axis(
-                            pool_tokens, src_slot[..., None], axis=1
-                        ),
-                        jnp.take_along_axis(
-                            exp_tokens, src_slot[..., None], axis=1
-                        ),
-                    )
-                    new_pool_lens = jnp.where(
-                        from_pool,
-                        jnp.take_along_axis(pool_lens, src_slot, axis=1),
-                        jnp.take_along_axis(exp_lens, src_slot, axis=1),
-                    )
                     new_pool_hash = jnp.where(
                         from_pool,
                         jnp.take_along_axis(pool_hash, src_slot, axis=1),
@@ -260,8 +254,6 @@ class TransducerBeamSearchDecoder:
                     if lm_state is not None:
                         pool_lm = sel_state(pool_lm, exp_lm)
                     pool_scores = top_pool
-                    pool_tokens = new_pool_tokens
-                    pool_lens = new_pool_lens
                     pool_hash = new_pool_hash
 
                     if j == n_exp:
@@ -299,22 +291,13 @@ class TransducerBeamSearchDecoder:
                     keep_idx = cand_idx[:, :K]
                     src_beam = keep_idx // V
                     new_tok = (keep_idx % V).astype(jnp.int32)
+                    bp_esrc.append(src_beam.astype(jnp.int32))
+                    bp_etok.append(new_tok)
                     flat_beam = (bidx * K + src_beam).reshape(-1)
-                    exp_tokens = jnp.take(
-                        exp_tokens.reshape(BK, -1), flat_beam, axis=0
-                    ).reshape(B, K, -1)
                     exp_hash = jnp.take(
                         exp_hash.reshape(-1), flat_beam
                     ).reshape(B, K)
                     exp_hash = exp_hash * jnp.int32(31) + (new_tok + 1)
-                    exp_lens_g = jnp.take(
-                        exp_lens.reshape(-1), flat_beam
-                    ).reshape(B, K)
-                    write_pos = jnp.minimum(exp_lens_g, L_max - 1)
-                    exp_tokens = exp_tokens.at[
-                        bidx, jnp.arange(K)[None, :], write_pos
-                    ].set(new_tok)
-                    exp_lens = exp_lens_g + 1
                     exp_scores = keep_scores
 
                     def reorder(tree):
@@ -362,8 +345,6 @@ class TransducerBeamSearchDecoder:
 
                 # inactive frames: keep previous beam unchanged
                 keep_old = ~active_t
-                tokens = jnp.where(keep_old[:, None, None], tokens, pool_tokens)
-                lens = jnp.where(keep_old[:, None], lens, pool_lens)
                 scores = jnp.where(keep_old[:, None], scores, pool_scores)
                 hashes = jnp.where(keep_old[:, None], hashes, pool_hash)
 
@@ -381,26 +362,104 @@ class TransducerBeamSearchDecoder:
                 pred_carry = keep_state(pred_carry, pool_carry)
                 if lm_state is not None:
                     lm_state = keep_state(lm_state, pool_lm)
+                ys = (
+                    jnp.stack(bp_fp),  # [n_exp+1, B, K] bool
+                    jnp.stack(bp_msrc).astype(jnp.int32),
+                    jnp.stack(bp_esrc) if bp_esrc else jnp.zeros(
+                        (0, B, K), jnp.int32
+                    ),
+                    jnp.stack(bp_etok) if bp_etok else jnp.zeros(
+                        (0, B, K), jnp.int32
+                    ),
+                )
                 return (
-                    tokens,
-                    lens,
                     scores,
                     hashes,
                     pred_feat,
                     pred_carry,
                     lm_state,
-                ), None
+                ), ys
 
-            init = (tokens0, lens0, scores0, hash0, feat0, carry0, lm_state0)
+            init = (scores0, hash0, feat0, carry0, lm_state0)
             T_enc = enc.encoder_out.shape[1]
-            (tokens, lens, scores, _, _, _, _), _ = jax.lax.scan(
+            (scores, _, _, _, _), ys = jax.lax.scan(
                 frame_step, init, jnp.arange(T_enc)
             )
+
+            # ---- device-side backpointer walk ---------------------------
+            # (the ys stay on device; only compact int16 tokens transfer —
+            # the host link is the slow path at ~20 MB/s through the TPU
+            # tunnel, so bytes moved dominate decode latency at this scale)
+            fp_a, msrc_a, esrc_a, etok_a = ys
             order = jnp.argsort(-scores, axis=1)
-            tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
-            lens = jnp.take_along_axis(lens, order, axis=1)
-            scores = jnp.take_along_axis(scores, order, axis=1)
-            return tokens, lens, scores
+            scores_sorted = jnp.take_along_axis(scores, order, axis=1)
+            bidx = jnp.arange(B)[:, None]
+            kcols = jnp.arange(K)[None, :]
+            Lcap = L_max
+
+            def bstep(carry, inp):
+                slot, cnt, rev = carry
+                fp_t, msrc_t, esrc_t, etok_t, t = inp
+                act = (t < enc.src_lengths)[:, None]
+                cont = act & jnp.ones((B, K), bool)
+                exit_level = jnp.full((B, K), -1, jnp.int32)
+                exit_slot = slot
+                cur = slot
+                for j in range(n_exp, -1, -1):
+                    f = jnp.take_along_axis(fp_t[j], cur, axis=1)
+                    src = jnp.take_along_axis(msrc_t[j], cur, axis=1)
+                    newly = cont & ~f
+                    exit_level = jnp.where(newly, j, exit_level)
+                    exit_slot = jnp.where(newly, src, exit_slot)
+                    cur = jnp.where(cont & f, src, cur)
+                    cont = cont & f
+                s = exit_slot
+                for r in range(n_exp, 0, -1):
+                    m = exit_level >= r
+                    tok = jnp.take_along_axis(etok_t[r - 1], s, axis=1)
+                    src = jnp.take_along_axis(esrc_t[r - 1], s, axis=1)
+                    pos = jnp.minimum(cnt, Lcap - 1)
+                    old = rev[bidx, kcols, pos]
+                    rev = rev.at[bidx, kcols, pos].set(
+                        jnp.where(m, tok.astype(jnp.int16), old)
+                    )
+                    cnt = cnt + m.astype(cnt.dtype)
+                    s = jnp.where(m, src, s)
+                return (s, cnt, rev), None
+
+            rev0 = jnp.zeros((B, K, Lcap), jnp.int16)
+            cnt0 = jnp.zeros((B, K), jnp.int32)
+            (_, cnt, rev), _ = jax.lax.scan(
+                bstep,
+                (order.astype(jnp.int32), cnt0, rev0),
+                (fp_a, msrc_a, esrc_a, etok_a, jnp.arange(T_enc)),
+                reverse=True,
+            )
+            # un-reverse: tokens[b,k,i] = rev[b,k,cnt-1-i]
+            lens = jnp.minimum(cnt, Lcap)
+            ar = jnp.arange(Lcap)[None, None, :]
+            gidx = jnp.clip(lens[..., None] - 1 - ar, 0, Lcap - 1)
+            toks = jnp.take_along_axis(rev, gidx, axis=2)
+            toks = jnp.where(ar < lens[..., None], toks, 0)
+            # pack (scores, lens, tokens) into ONE int32 array: each
+            # device->host transfer over the tunnel costs ~35 ms of latency
+            # on top of ~20 MB/s, so one packed transfer beats three
+            pad = (-Lcap) % 2
+            toks16 = jnp.pad(toks, ((0, 0), (0, 0), (0, pad)))
+            toks32 = jax.lax.bitcast_convert_type(
+                toks16.reshape(B, K, -1, 2), jnp.int32
+            )
+            packed = jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(
+                        scores_sorted.astype(jnp.float32), jnp.int32
+                    )[..., None],
+                    lens.astype(jnp.int32)[..., None],
+                    toks32,
+                ],
+                axis=2,
+            )
+            return packed
 
         return jax.jit(run)
 
@@ -412,14 +471,22 @@ class TransducerBeamSearchDecoder:
         key = (src_frames.shape, L_max)
         if key not in self._jitted:
             self._jitted[key] = self._search_fn(T, L_max)
-        tokens, lens, scores = self._jitted[key](
-            variables, self.lm_variables, src_frames, src_lengths
+        packed = np.asarray(
+            self._jitted[key](
+                variables, self.lm_variables, src_frames, src_lengths
+            )
         )
-        tokens, lens, scores = map(np.asarray, (tokens, lens, scores))
+        scores = np.ascontiguousarray(packed[:, :, 0]).view(np.float32)
+        lens = packed[:, :, 1].astype(np.int64)
+        tokens = (
+            np.ascontiguousarray(packed[:, :, 2:])
+            .view(np.int16)
+            .astype(np.int32)[:, :, :L_max]
+        )
         results = []
-        for b in range(tokens.shape[0]):
+        for b in range(scores.shape[0]):
             hyps = []
-            for k in range(tokens.shape[1]):
+            for k in range(scores.shape[1]):
                 if scores[b, k] <= NEG_INF / 2:
                     continue
                 hyps.append(
