@@ -397,8 +397,7 @@ class TransducerBeamSearchDecoder:
             kcols = jnp.arange(K)[None, :]
             Lcap = L_max
 
-            def bstep(carry, inp):
-                slot, cnt, rev = carry
+            def bstep(slot, inp):
                 fp_t, msrc_t, esrc_t, etok_t, t = inp
                 act = (t < enc.src_lengths)[:, None]
                 cont = act & jnp.ones((B, K), bool)
@@ -414,33 +413,47 @@ class TransducerBeamSearchDecoder:
                     cur = jnp.where(cont & f, src, cur)
                     cont = cont & f
                 s = exit_slot
+                toks_r, valid_r = [], []
                 for r in range(n_exp, 0, -1):
                     m = exit_level >= r
                     tok = jnp.take_along_axis(etok_t[r - 1], s, axis=1)
                     src = jnp.take_along_axis(esrc_t[r - 1], s, axis=1)
-                    pos = jnp.minimum(cnt, Lcap - 1)
-                    old = rev[bidx, kcols, pos]
-                    rev = rev.at[bidx, kcols, pos].set(
-                        jnp.where(m, tok.astype(jnp.int16), old)
-                    )
-                    cnt = cnt + m.astype(cnt.dtype)
+                    toks_r.append(jnp.where(m, tok, 0).astype(jnp.int16))
+                    valid_r.append(m)
                     s = jnp.where(m, src, s)
-                return (s, cnt, rev), None
+                if not toks_r:  # n_exp == 0 (degenerate)
+                    toks_r = [jnp.zeros((B, K), jnp.int16)]
+                    valid_r = [jnp.zeros((B, K), bool)]
+                return s, (jnp.stack(toks_r), jnp.stack(valid_r))
 
-            rev0 = jnp.zeros((B, K, Lcap), jnp.int16)
-            cnt0 = jnp.zeros((B, K), jnp.int32)
-            (_, cnt, rev), _ = jax.lax.scan(
+            _, (toks_e, valid_e) = jax.lax.scan(
                 bstep,
-                (order.astype(jnp.int32), cnt0, rev0),
+                order.astype(jnp.int32),
                 (fp_a, msrc_a, esrc_a, etok_a, jnp.arange(T_enc)),
                 reverse=True,
             )
-            # un-reverse: tokens[b,k,i] = rev[b,k,cnt-1-i]
-            lens = jnp.minimum(cnt, Lcap)
-            ar = jnp.arange(Lcap)[None, None, :]
-            gidx = jnp.clip(lens[..., None] - 1 - ar, 0, Lcap - 1)
-            toks = jnp.take_along_axis(rev, gidx, axis=2)
-            toks = jnp.where(ar < lens[..., None], toks, 0)
+            # toks_e/valid_e: [T, n_exp, B, K] in frame order; the emission
+            # (reversed-sequence) order is frames DESCENDING, rounds as
+            # stored — flip the frame axis and flatten, then one cumsum
+            # gives each token its position from the sequence end and one
+            # scatter materializes forward-order tokens (no per-step buffer
+            # churn inside the scan)
+            E = max(n_exp, 1)
+            em_tok = jnp.flip(toks_e, axis=0).reshape(T_enc * E, B, K)
+            em_val = jnp.flip(valid_e, axis=0).reshape(T_enc * E, B, K)
+            cum = jnp.cumsum(em_val.astype(jnp.int32), axis=0)
+            lens = jnp.minimum(cum[-1], Lcap)
+            pos_from_end = cum - 1  # inclusive cumsum -> 0-based from end
+            fwd = cum[-1][None] - 1 - pos_from_end
+            # invalid or overflow positions are routed past the buffer edge
+            fwd = jnp.where(em_val & (fwd < Lcap), fwd, Lcap)
+            out = jnp.zeros((B, K, Lcap + 1), jnp.int16)
+            out = out.at[
+                jnp.broadcast_to(bidx[None], em_tok.shape),
+                jnp.broadcast_to(kcols[None], em_tok.shape),
+                fwd,
+            ].set(em_tok)
+            toks = out[:, :, :Lcap]
             # pack (scores, lens, tokens) into ONE int32 array: each
             # device->host transfer over the tunnel costs ~35 ms of latency
             # on top of ~20 MB/s, so one packed transfer beats three
