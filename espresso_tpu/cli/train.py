@@ -392,6 +392,24 @@ def _train_loop(
             jax.profiler.start_trace(
                 _os.path.join(cfg.checkpoint.save_dir, "profile")
             )
+        # metrics stay ON DEVICE between log intervals: forcing each scalar
+        # to host every step serializes the pipeline on the host link
+        # (~35 ms/transfer through the TPU tunnel vs a ~14 ms step)
+        _acc_metrics = jax.jit(
+            lambda acc, m: jax.tree_util.tree_map(jnp.add, acc, m)
+        )
+        metrics_acc = None
+        metrics_n = 0
+
+        def _flush_metrics():
+            nonlocal metrics_acc, metrics_n
+            if metrics_acc is None:
+                return
+            sums = jax.device_get(metrics_acc)
+            agg.update_sums({k: float(v) for k, v in sums.items()}, metrics_n)
+            metrics_acc = None
+            metrics_n = 0
+
         for group in epoch_itr:
             dev_batch = put_batch(group, bsharding)
             rng, step_rng = jax.random.split(rng)
@@ -404,7 +422,12 @@ def _train_loop(
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info("profile trace written to %s/profile", cfg.checkpoint.save_dir)
-            agg.update({k: float(v) for k, v in metrics.items()})
+            metrics_acc = (
+                metrics
+                if metrics_acc is None
+                else _acc_metrics(metrics_acc, metrics)
+            )
+            metrics_n += 1
             interval = cfg.criterion.print_training_sample_interval
             if (
                 interval > 0
@@ -417,6 +440,7 @@ def _train_loop(
                     model, state, task, group, num_updates
                 )
             if num_updates % cfg.common.log_interval == 0:
+                _flush_metrics()
                 stats = agg.smoothed()
                 stats["lr"] = float(schedule(num_updates))
                 progress.log(stats, num_updates, epoch)
@@ -435,6 +459,7 @@ def _train_loop(
 
         if profiling:
             jax.profiler.stop_trace()
+        _flush_metrics()
         train_stats = agg.smoothed()
         progress.print_epoch(train_stats, epoch)
 

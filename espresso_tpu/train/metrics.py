@@ -41,6 +41,14 @@ class MetricsAggregator:
             self.counts[k] += 1
         self._n_updates += 1
 
+    def update_sums(self, sums: Dict[str, Any], n_steps: int) -> None:
+        """Fold in metrics pre-summed over n_steps updates (device-side
+        accumulation: one host transfer per log interval, not per step)."""
+        for k, v in sums.items():
+            self.sums[k] += float(v)
+            self.counts[k] += n_steps
+        self._n_updates += n_steps
+
     def reset(self) -> None:
         self.sums.clear()
         self.counts.clear()
