@@ -94,3 +94,20 @@ def batched_edit_counts(
         out,
     )
     return out
+
+
+def batching_lib() -> Optional[ctypes.CDLL]:
+    lib = _build_and_load("batching")
+    if lib is not None and not getattr(lib, "_configured", False):
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.batch_by_size_fast.argtypes = [
+            i64p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            i64p,
+        ]
+        lib.batch_by_size_fast.restype = ctypes.c_int64
+        lib._configured = True
+    return lib

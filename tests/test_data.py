@@ -192,3 +192,33 @@ def test_dataset_feature_read_matches_ark(tmp_path):
     mat = ds.get_features(0)
     ref = kaldi_io.read_mat(entries[0].audio)
     assert np.allclose(mat, ref)
+
+
+def test_batch_by_size_native_matches_python():
+    """clib/batching.cpp must match the pure-Python loop exactly on random
+    inputs (fairseq data_utils_fast.pyx semantics)."""
+    import espresso_tpu.data.batching as bt
+    from espresso_tpu.clib import batching_lib
+
+    assert batching_lib() is not None, "native batching failed to build"
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        n = int(rng.integers(1, 500))
+        sizes = rng.integers(1, 300, n)
+        idx = np.argsort(sizes, kind="stable")
+        mt = [None, int(rng.integers(100, 3000))][trial % 2]
+        ms = [None, int(rng.integers(1, 32))][(trial // 2) % 2]
+        mult = int(rng.choice([1, 2, 8]))
+        native = bt.batch_by_size(idx, sizes[idx], mt, ms, mult)
+        # force the python path by monkeypatching the lib away
+        import espresso_tpu.clib as clib
+
+        saved = clib._cache.get("batching")
+        clib._cache["batching"] = None
+        try:
+            ref = bt.batch_by_size(idx, sizes[idx], mt, ms, mult)
+        finally:
+            clib._cache["batching"] = saved
+        assert len(native) == len(ref), (trial, len(native), len(ref))
+        for a, b in zip(native, ref):
+            assert np.array_equal(a, b), trial
