@@ -183,6 +183,13 @@ def main(argv=None) -> Dict[str, float]:
         section["pipeline_microbatches"] = (
             cfg.distributed.pipeline_microbatches
         )
+    if cfg.distributed.sequence_parallel:
+        section = (
+            cfg.model.setdefault("encoder", {})
+            if "transducer" in cfg.model.get("name", "")
+            else cfg.model
+        )
+        section["sequence_parallel"] = True
 
     task = setup_task(cfg)
     train_ds = task.load_dataset(cfg.dataset.train_subset)

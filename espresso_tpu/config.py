@@ -61,6 +61,9 @@ class DistributedConfig:
     # speech_transformer-family model with encoder_layers divisible by it
     pipeline_parallel_size: int = 1
     pipeline_microbatches: int = 4
+    # shard encoder activations' time axis over 'model' at layer boundaries
+    # (Megatron sequence parallelism; needs model_parallel_size > 1)
+    sequence_parallel: bool = False
     # multi-host init (jax.distributed.initialize) — no-op single host
     coordinator_address: Optional[str] = None
     num_processes: int = 1

@@ -90,6 +90,12 @@ class SpeechTransformerConfig:
     # distributed.pipeline_parallel_size.
     pipeline_stages: int = 1
     pipeline_microbatches: int = 4
+    # sequence parallelism: constrain encoder activations to shard the time
+    # axis over the 'model' mesh axis at layer boundaries (Megatron-SP
+    # residual/LN regions); GSPMD inserts the all-gather/reduce-scatter
+    # pairs around attention/FFN. Set by the train CLI from
+    # distributed.sequence_parallel.
+    sequence_parallel: bool = False
 
 
 class _PipeLayerBody(nn.Module):
@@ -195,6 +201,17 @@ class SpeechTransformerEncoder(nn.Module):
                 src_lengths=lengths,
             )
 
+        seq_constraint = None
+        if cfg.sequence_parallel:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from espresso_tpu.parallel.mesh import get_global_mesh
+
+            seq_constraint = NamedSharding(
+                get_global_mesh(), P("data", "model", None)
+            )
+            x = jax.lax.with_sharding_constraint(x, seq_constraint)
+
         conformer_cls = ConformerEncoderLayer
         transformer_cls = TransformerEncoderLayer
         if cfg.remat:
@@ -221,6 +238,9 @@ class SpeechTransformerEncoder(nn.Module):
                     use_relative_pos=cfg.encoder_pos_type == "relative",
                     name=f"layer{i}",
                 )(x, padding_mask, attn_mask, rel_pos, train)
+            if seq_constraint is not None:
+                # re-anchor the sequence sharding at each residual boundary
+                x = jax.lax.with_sharding_constraint(x, seq_constraint)
         x = nn.LayerNorm(name="final_norm")(x)
         return EncoderOut(
             encoder_out=x, encoder_padding_mask=padding_mask, src_lengths=lengths

@@ -133,3 +133,47 @@ def test_dp_sharded_matches_single_device():
     assert np.allclose(
         float(metrics_ref["gnorm"]), float(metrics_sh["gnorm"]), rtol=1e-3
     )
+
+
+def test_sequence_parallel_matches_unsharded():
+    """sequence_parallel (time axis over 'model' at layer boundaries) must
+    not change the math: dp2 x tp2 sharded forward == replicated forward."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from espresso_tpu.models.speech_transformer import (
+        SpeechTransformerConfig,
+        SpeechTransformerModel,
+    )
+    from espresso_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2, 2)
+    kw = dict(
+        feat_dim=8, vocab_size=11, conv_channels=(4,),
+        conv_kernel_sizes=((3, 3),), conv_strides=((2, 2),),
+        conv_norm_type="layer",
+        encoder_embed_dim=16, encoder_ffn_dim=32, encoder_layers=2,
+        encoder_heads=2, decoder_embed_dim=16, decoder_ffn_dim=32,
+        decoder_layers=1, decoder_heads=2, dropout=0.0,
+    )
+    sp_model = SpeechTransformerModel(
+        SpeechTransformerConfig(sequence_parallel=True, **kw)
+    )
+    base_model = SpeechTransformerModel(SpeechTransformerConfig(**kw))
+
+    rng = np.random.default_rng(0)
+    B, T, F = 4, 37, 8
+    frames = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+    lengths = jnp.asarray([37, 30, 25, 20])
+    prev = jnp.asarray(rng.integers(0, 11, (B, 5)).astype(np.int32))
+    variables = base_model.init(jax.random.PRNGKey(0), frames, lengths, prev)
+
+    ref, _ = jax.jit(
+        lambda v, f, l, p: base_model.apply(v, f, l, p)
+    )(variables, frames, lengths, prev)
+    with mesh:
+        got, _ = jax.jit(
+            lambda v, f, l, p: sp_model.apply(v, f, l, p)
+        )(variables, frames, lengths, prev)
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    assert err < 1e-4, err
