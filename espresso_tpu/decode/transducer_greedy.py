@@ -121,7 +121,19 @@ class TransducerGreedyDecoder:
                 jnp.arange(T_enc),
             )
             _, _, out_buf, out_len, score = carry
-            return out_buf, out_len, score
+            # pack into ONE int32 array [B, 2 + L_max]: each device->host
+            # transfer has a large fixed latency over the TPU tunnel
+            packed = jnp.concatenate(
+                [
+                    jax.lax.bitcast_convert_type(
+                        score.astype(jnp.float32), jnp.int32
+                    )[:, None],
+                    out_len[:, None],
+                    out_buf,
+                ],
+                axis=1,
+            )
+            return packed
 
         return run
 
@@ -133,11 +145,12 @@ class TransducerGreedyDecoder:
         key = (src_frames.shape, L_max)
         if key not in self._jitted:
             self._jitted[key] = self._decode_fn(T, L_max)
-        out_buf, out_len, score = self._jitted[key](
-            variables, src_frames, src_lengths
+        packed = np.asarray(
+            self._jitted[key](variables, src_frames, src_lengths)
         )
-        out_buf, out_len = np.asarray(out_buf), np.asarray(out_len)
-        score = np.asarray(score)
+        score = np.ascontiguousarray(packed[:, 0]).view(np.float32)
+        out_len = packed[:, 1]
+        out_buf = packed[:, 2:]
         return [
             [
                 {
