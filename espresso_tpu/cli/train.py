@@ -212,6 +212,9 @@ def main(argv=None) -> Dict[str, float]:
             indent=2,
         )
 
+    if cfg.lr_scheduler.name == "manual" and cfg.lr_scheduler.manual_lr:
+        # epoch 1 trains at the first table entry
+        cfg.optimization.lr = [float(cfg.lr_scheduler.manual_lr[0])]
     optimizer, schedule = build_optimizer(cfg)
     update_freq = cfg.optimization.update_freq[0]
 
@@ -265,11 +268,14 @@ def main(argv=None) -> Dict[str, float]:
     )
 
     ckpt_mgr = CheckpointManager(cfg)
-    plateau = (
-        PlateauScheduler(cfg.lr_scheduler, cfg.optimization)
-        if cfg.lr_scheduler.name.startswith("reduce_lr_on_plateau")
-        else None
-    )
+    if cfg.lr_scheduler.name.startswith("reduce_lr_on_plateau"):
+        plateau = PlateauScheduler(cfg.lr_scheduler, cfg.optimization)
+    elif cfg.lr_scheduler.name == "manual":
+        from espresso_tpu.train.lr_schedulers import ManualScheduler
+
+        plateau = ManualScheduler(cfg.lr_scheduler, cfg.optimization)
+    else:
+        plateau = None
     host_state: Dict[str, Any] = {}
     restore = ckpt_mgr.restore_path()
     if restore and not cfg.checkpoint.reset_optimizer:
@@ -291,6 +297,26 @@ def main(argv=None) -> Dict[str, float]:
         donate_argnums=(0,),
     )
     valid_step = jax.jit(make_valid_step(model, criterion, cfg))
+
+    def rebuild_train_step(new_lr: float):
+        """Re-jit the train step with a new base lr (plateau/manual epoch
+        schedulers change lr between epochs; the optax schedule closure is
+        compiled in, so a change requires a rebuild — rare, epoch-boundary
+        only). The optax chain structure is identical, so the existing
+        opt_state carries over."""
+        cfg.optimization.lr = [float(new_lr)]
+        new_opt, new_schedule = build_optimizer(cfg)
+        new_step = jax.jit(
+            make_train_step(
+                model,
+                criterion,
+                new_opt,
+                cfg,
+                ema_decay=cfg.optimization.ema_decay,
+            ),
+            donate_argnums=(0,),
+        )
+        return new_step, new_schedule
     from espresso_tpu.tools.scheduled_sampling import (
         ScheduledSamplingRateScheduler,
     )
@@ -342,6 +368,7 @@ def main(argv=None) -> Dict[str, float]:
             max_update,
             patience_left,
             num_updates,
+            rebuild_train_step,
         )
     except Exception:
         # crash checkpoint (reference trainer.py:858-863 crash.pt)
@@ -382,6 +409,7 @@ def _train_loop(
     max_update,
     patience_left,
     num_updates,
+    rebuild_train_step=None,
 ):
     final_stats: Dict[str, float] = {}
     while train_itr.next_epoch_idx <= max_epoch and num_updates < max_update:
@@ -487,9 +515,12 @@ def _train_loop(
         val_metric = val_stats.get(metric_name, val_stats.get("loss"))
         final_stats = {**train_stats, **{f"valid_{k}": v for k, v in val_stats.items()}}
 
-        if plateau is not None and val_metric is not None:
+        if plateau is not None:
+            old_lr = plateau.lr
             new_lr = plateau.step_epoch(epoch, val_metric)
-            logger.info("plateau lr -> %g", new_lr)
+            if new_lr != old_lr and rebuild_train_step is not None:
+                logger.info("epoch lr scheduler: lr -> %g", new_lr)
+                train_step, schedule = rebuild_train_step(new_lr)
 
         # checkpoint + early stopping (reference validate_and_save :363-434)
         improved = ckpt_mgr.best is None or (

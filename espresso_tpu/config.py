@@ -197,6 +197,12 @@ class LRSchedulerConfig:
     # polynomial
     power: float = 1.0
     total_num_update: int = 0
+    # triangular (fairseq triangular_lr_scheduler): cycle between base lr
+    # and max_lr over lr_period_updates, shrinking max by lr_shrink per cycle
+    max_lr: float = 0.0
+    lr_period_updates: int = 0
+    # manual: lr per epoch (1-indexed; the last entry persists)
+    manual_lr: Optional[List[float]] = None
 
 
 @dataclass

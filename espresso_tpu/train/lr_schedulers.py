@@ -113,8 +113,43 @@ def build_lr_schedule(
             lr = jnp.where((w > 0) & (stepf < w), warm, poly)
             return jnp.where(stepf >= total, cfg.final_lr, lr)
 
-    elif name in ("reduce_lr_on_plateau", "reduce_lr_on_plateau_v2"):
-        # stateful: handled by PlateauScheduler; step schedule is constant
+    elif name == "triangular":
+        # fairseq triangular_lr_scheduler: cyclical between base_lr and
+        # max_lr with period lr_period_updates; max shrinks by lr_shrink
+        # each full cycle
+        assert cfg.max_lr > base_lr and cfg.lr_period_updates > 0
+
+        def sched(step):
+            stepf = jnp.asarray(step, jnp.float32)
+            period = float(cfg.lr_period_updates)
+            cycle = jnp.floor(stepf / (2 * period))
+            max_lr = cfg.max_lr * (cfg.lr_shrink ** cycle)
+            x = jnp.abs(stepf / period - 2 * cycle - 1)
+            return base_lr + (max_lr - base_lr) * jnp.maximum(0.0, 1 - x)
+
+    elif name == "step":
+        # staircase decay: lr * lr_shrink^(elapsed / decay_steps) after
+        # warmup (fairseq step_lr_scheduler semantics)
+        def sched(step):
+            stepf = jnp.asarray(step, jnp.float32)
+            w = cfg.warmup_updates
+            init = cfg.warmup_init_lr if cfg.warmup_init_lr >= 0 else 0.0
+            warm = init + (base_lr - init) * stepf / max(w, 1)
+            n_dec = jnp.floor(
+                jnp.maximum(stepf - w, 0.0) / max(cfg.decay_steps, 1)
+            )
+            decay = base_lr * (cfg.lr_shrink ** n_dec)
+            return jnp.where((w > 0) & (stepf < w), warm, decay)
+
+    elif name == "pass_through":
+        # the reference delegates to the optimizer's own schedule; our
+        # optimizers are schedule-driven already, so this is constant lr
+        def sched(step):
+            return jnp.asarray(base_lr, jnp.float32)
+
+    elif name in ("reduce_lr_on_plateau", "reduce_lr_on_plateau_v2", "manual"):
+        # stateful epoch-driven schedulers: the train loop rebuilds the
+        # optimizer schedule when step_epoch returns a changed lr
         def sched(step):
             return jnp.asarray(base_lr, jnp.float32)
 
@@ -122,6 +157,28 @@ def build_lr_schedule(
         raise ValueError(f"unknown lr scheduler {name!r}")
 
     return sched
+
+
+class ManualScheduler:
+    """Per-epoch lr table (fairseq manual_lr_scheduler's epoch2lr): entry
+    ``manual_lr[epoch-1]`` applies to that epoch; the last entry persists."""
+
+    def __init__(self, cfg: LRSchedulerConfig, opt_cfg: OptimizationConfig):
+        table = cfg.manual_lr or list(opt_cfg.lr)
+        self.table = list(table)
+        self.lr = self.table[0]
+
+    def step_epoch(self, epoch: int, val_metric: Optional[float]) -> float:
+        # called at the END of ``epoch``: return the lr for epoch + 1
+        idx = min(max(epoch, 0), len(self.table) - 1)
+        self.lr = float(self.table[idx])
+        return self.lr
+
+    def state_dict(self):
+        return {"lr": self.lr}
+
+    def load_state_dict(self, d):
+        self.lr = d["lr"]
 
 
 class PlateauScheduler:

@@ -200,3 +200,82 @@ def test_print_training_sample(tmp_path, caplog):
     msgs = [r.message for r in caplog.records]
     assert any(m.startswith("sample REF:") for m in msgs), msgs[-5:]
     assert any(m.startswith("sample PRD:") for m in msgs)
+
+
+def test_new_lr_schedules_shapes():
+    """triangular / step / pass_through schedule math."""
+    import jax.numpy as jnp
+
+    from espresso_tpu.config import LRSchedulerConfig, OptimizationConfig
+    from espresso_tpu.train.lr_schedulers import build_lr_schedule
+
+    opt = OptimizationConfig(lr=[0.1])
+    tri = build_lr_schedule(
+        LRSchedulerConfig(
+            name="triangular", max_lr=0.5, lr_period_updates=10, lr_shrink=0.5
+        ),
+        opt,
+    )
+    assert abs(float(tri(0)) - 0.1) < 1e-6
+    assert abs(float(tri(10)) - 0.5) < 1e-6  # peak of first cycle
+    assert abs(float(tri(20)) - 0.1) < 1e-6  # back to base
+    # second cycle peak: max shrunk by lr_shrink -> 0.5*0.5 = 0.25
+    assert abs(float(tri(30)) - 0.25) < 1e-6
+
+    step = build_lr_schedule(
+        LRSchedulerConfig(name="step", decay_steps=100, lr_shrink=0.5), opt
+    )
+    assert abs(float(step(0)) - 0.1) < 1e-6
+    assert abs(float(step(150)) - 0.05) < 1e-6
+    assert abs(float(step(250)) - 0.025) < 1e-6
+
+    pt = build_lr_schedule(LRSchedulerConfig(name="pass_through"), opt)
+    assert abs(float(pt(1234)) - 0.1) < 1e-6
+
+
+def test_manual_and_plateau_lr_reach_optimizer(tmp_path, caplog):
+    """Epoch-driven lr changes (manual table / plateau shrink) must rebuild
+    the optimizer schedule — regression for the plateau shrink being logged
+    but never applied."""
+    import logging
+
+    from espresso_tpu.cli.train import main as train_main
+    from tests.utils import make_corpus
+
+    d = str(tmp_path)
+    make_corpus(d, "train", num_utts=8, feat_dim=8, seed=0, max_words=3)
+    make_corpus(d, "valid", num_utts=4, feat_dim=8, seed=1, max_words=3)
+    base = [
+        f"dataset.data={d}", f"checkpoint.save_dir={d}/ckpt",
+        "dataset.max_tokens=1600", "dataset.num_batch_buckets=1",
+        "dataset.required_batch_size_multiple=2", "dataset.feat_dim=8",
+        "model.name=speech_lstm", "model.conv_channels=(4,)",
+        "model.conv_kernel_sizes=((3,3),)", "model.conv_strides=((2,2),)",
+        "model.encoder_hidden_size=16", "model.encoder_layers=1",
+        "model.decoder_embed_dim=8", "model.decoder_hidden_size=16",
+        "model.decoder_out_embed_dim=16", "model.decoder_layers=1",
+        "model.attention_dim=16", "model.dropout=0.0",
+        "common.log_interval=5", "common.dtype=float32",
+        "optimization.max_epoch=3",
+    ]
+    with caplog.at_level(logging.INFO, logger="espresso_tpu.train"):
+        train_main(base + [
+            "lr_scheduler.name=manual",
+            "lr_scheduler.manual_lr=[0.01,0.005,0.0025]",
+            "optimization.lr=0.01",
+        ])
+    msgs = [r.message for r in caplog.records]
+    assert any("lr -> 0.005" in m for m in msgs), msgs[-10:]
+    assert any("lr -> 0.0025" in m for m in msgs)
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="espresso_tpu.train"):
+        train_main(base + [
+            f"checkpoint.save_dir={d}/ckpt2",
+            "lr_scheduler.name=reduce_lr_on_plateau_v2",
+            "lr_scheduler.lr_shrink=0.5",
+            "lr_scheduler.lr_threshold=100.0",  # never 'improves'
+            "optimization.lr=0.01",
+        ])
+    msgs = [r.message for r in caplog.records]
+    assert any("lr -> 0.005" in m for m in msgs), msgs[-10:]
