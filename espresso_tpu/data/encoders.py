@@ -65,3 +65,43 @@ def build_tokenizer(name: Optional[str], **kwargs):
     if name is None:
         return None
     return TOKENIZERS.build(name, **kwargs)
+
+
+@TOKENIZERS.register("moses")
+class MosesTokenizer:
+    """Moses tokenization via sacremoses (fairseq/data/encoders/
+    moses_tokenizer.py); gated on the package being installed."""
+
+    def __init__(self, source_lang: str = "en", target_lang: str = "en"):
+        try:
+            from sacremoses import MosesDetokenizer, MosesTokenizer as _MT
+        except ImportError as e:
+            raise ImportError("sacremoses not available in this image") from e
+        self.tok = _MT(source_lang)
+        self.detok = MosesDetokenizer(target_lang)
+
+    def encode(self, line: str) -> str:
+        return self.tok.tokenize(line, return_str=True)
+
+    def decode(self, line: str) -> str:
+        return self.detok.detokenize(line.split())
+
+
+@TOKENIZERS.register("gpt2")
+class GPT2BPE:
+    """GPT-2 byte-level BPE via HuggingFace tokenizers (fairseq/data/
+    encoders/gpt2_bpe.py equivalent); emits space-separated token ids
+    (fairseq convention) so the Dictionary maps them to symbols."""
+
+    def __init__(self, pretrained: str = "gpt2"):
+        try:
+            from transformers import GPT2Tokenizer
+        except ImportError as e:
+            raise ImportError("transformers not available") from e
+        self.bpe = GPT2Tokenizer.from_pretrained(pretrained)
+
+    def encode(self, line: str) -> str:
+        return " ".join(str(i) for i in self.bpe.encode(line))
+
+    def decode(self, line: str) -> str:
+        return self.bpe.decode([int(t) for t in line.split() if t.isdigit()])
