@@ -294,10 +294,11 @@ class SubsampledCrossEntropyWithAccuracy:
 class LFMMICriterion:
     """Lattice-free MMI (espresso/criterions/lf_mmi_loss.py:42-137, PyChain
     replaced by ops/chain.py's on-device forward-backward). Requires
-    ``criterion.denominator_graph_path`` (npz arc-list format; convert Kaldi
-    den.fst with DenominatorGraph.from_fst_text). Numerator = frame
-    alignments from the manifest (E2E numerator FSTs can be lowered to
-    alignments offline)."""
+    ``criterion.denominator_graph_path`` (npz/fst/txt; convert Kaldi
+    den.fst with DenominatorGraph.from_fst_text). Numerator = per-utterance
+    numerator FSTs when the batch carries packed graph arrays
+    (chain_dataset.py; full pychain parity), else frame alignments from the
+    manifest."""
 
     logging_keys = ("loss", "ntokens")
 
@@ -313,13 +314,40 @@ class LFMMICriterion:
         self.left = getattr(task.cfg.task, "chunk_left_context", 0)
 
     def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
-        from espresso_tpu.ops.chain import chain_loss
+        from espresso_tpu.ops.chain import chain_loss, chain_loss_fst
 
         logits, enc, updates = _apply_model(model, variables, batch, rngs, train)
         target = batch["target"]
         B, W = target.shape
-        if logits.shape[1] >= self.left + W:
+        Tp = logits.shape[1]
+        if Tp >= self.left + W:
             logits = jax.lax.dynamic_slice_in_dim(logits, self.left, W, axis=1)
+        if "num_from" in batch:
+            # per-utterance numerator FSTs (chain_dataset.py). If the model
+            # subsampled (Tp < W), scale the supervision lengths to the
+            # output frame rate (kaldi frame_subsampling_factor semantics).
+            Tl = logits.shape[1]
+            lengths = jnp.minimum(batch["tgt_lengths"], W)
+            if Tl < W:
+                lengths = jnp.minimum((lengths * Tl + W - 1) // W, Tl)
+            losses = chain_loss_fst(
+                logits,
+                lengths,
+                (
+                    batch["num_from"],
+                    batch["num_to"],
+                    batch["num_pdf"],
+                    batch["num_weight"],
+                    batch["num_final"],
+                ),
+                self.graph,
+                leaky_hmm_coefficient=self.cfg.leaky_hmm_coefficient,
+                leaky_mode=self.cfg.leaky_hmm_mode,
+            )
+            loss = (losses * batch["weight"]).sum()
+            ntokens = (lengths * batch["weight"]).sum()
+            logging = {"loss": loss, "ntokens": ntokens}
+            return loss, jnp.maximum(ntokens, 1), logging, updates
         lengths = jnp.minimum(batch["tgt_lengths"], W)
         losses = chain_loss(
             logits,

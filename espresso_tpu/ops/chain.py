@@ -21,7 +21,7 @@ format is ``DenominatorGraph.from_fst_text``.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,8 @@ class DenominatorGraph:
 
     @staticmethod
     def load(path: str) -> "DenominatorGraph":
-        if path.endswith(".fst"):
+        base, _, off = path.rpartition(":")
+        if path.endswith(".fst") or (base and off.isdigit()):
             return DenominatorGraph.from_fst_binary(path)
         if path.endswith(".txt"):
             with open(path) as f:
@@ -102,11 +103,20 @@ class DenominatorGraph:
         """Read an OpenFst binary ``StdVectorFst`` (the on-disk format of
         kaldi's den.fst; what pychain's simplefst.StdVectorFst.read loads —
         reference lf_mmi_loss.py:148-154). Handles an optional Kaldi
-        ``\\0B`` binary-stream marker. Arc ilabels are pdf-id + 1; weights
-        are tropical -log probs (negated on load, matching from_fst_text)."""
+        ``\\0B`` binary-stream marker and ``path:offset`` rxfilenames (for
+        per-utterance numerator FSTs stored in an archive, reference
+        espresso/data/asr_chain_dataset.py read_fsts :102). Arc ilabels are
+        pdf-id + 1; weights are tropical -log probs (negated on load,
+        matching from_fst_text)."""
         import struct
 
+        seek = 0
+        if ":" in path:
+            base, _, off_s = path.rpartition(":")
+            if off_s.isdigit():
+                path, seek = base, int(off_s)
         with open(path, "rb") as f:
+            f.seek(seek)
             data = f.read()
         off = 0
         if data[:2] == b"\x00B":  # kaldi binary marker
@@ -212,6 +222,49 @@ class DenominatorGraph:
             final_weights=final_weights,
             num_states=int(num_states),
         )
+
+    def to_fst_binary(self) -> bytes:
+        """Serialize as an OpenFst binary ``StdVectorFst`` (inverse of
+        ``from_fst_binary``; used to write per-utterance numerator-FST
+        archives). Weights are negated back to tropical -log probs."""
+        import struct
+
+        out = [struct.pack("<i", 2125659606)]
+
+        def put_string(s: str):
+            out.append(struct.pack("<i", len(s)))
+            out.append(s.encode())
+
+        put_string("vector")
+        put_string("standard")
+        out.append(struct.pack("<i", 2))  # version
+        out.append(struct.pack("<i", 0))  # flags
+        out.append(struct.pack("<q", 0))  # properties
+        out.append(struct.pack("<q", 0))  # start state
+        out.append(struct.pack("<q", self.num_states))
+        out.append(struct.pack("<q", len(self.from_state)))
+        order = np.argsort(self.from_state, kind="stable")
+        by_state: dict = {}
+        for i in order:
+            by_state.setdefault(int(self.from_state[i]), []).append(int(i))
+        for s in range(self.num_states):
+            fw = self.final_weights[s]
+            out.append(
+                struct.pack("<f", np.float32(np.inf) if fw <= NEG_INF / 2 else -fw)
+            )
+            arcs = by_state.get(s, [])
+            out.append(struct.pack("<q", len(arcs)))
+            for i in arcs:
+                out.append(
+                    struct.pack(
+                        "<iifi",
+                        int(self.pdf[i]) + 1,
+                        int(self.pdf[i]) + 1,
+                        -float(self.weight[i]),
+                        int(self.to_state[i]),
+                    )
+                )
+        return b"".join(out)
 
     @staticmethod
     def from_fst_text(text: str, num_pdfs: Optional[int] = None) -> "DenominatorGraph":
@@ -341,36 +394,27 @@ def _den_backward(lp, lengths, from_s, to_s, pdf, weight, finals, S, log_leak):
 
 
 @jax.custom_vjp
-def chain_loss_from_log_probs(lp, targets, lengths, graph_arrays):
-    """Per-example -(num - den). lp: [B, T, V] log-probs; targets: [B, T]
-    alignment pdf-ids (-1 pad); graph_arrays: tuple of device arrays
-    (from, to, pdf, weight, finals, log_leak-or-None)."""
+def den_logz(lp, lengths, graph_arrays):
+    """Denominator log-partition per example. lp: [B, T, V] log-probs;
+    graph_arrays: tuple of device arrays
+    (from, to, pdf, weight, finals, log_leak-or-None). The gradient (the
+    denominator occupancy, computed by the alpha/beta forward-backward) is
+    provided analytically via custom_vjp so the scan is never differentiated
+    through (reference: pychain ChainFunction backward)."""
     from_s, to_s, pdf, weight, finals, log_leak = graph_arrays
     S = finals.shape[0]
-    B, T, V = lp.shape
     logZ, _ = _den_forward(
         lp, lengths, from_s, to_s, pdf, weight, finals, S, log_leak
     )
-    t_idx = jnp.arange(T)[None, :]
-    valid = (t_idx < lengths[:, None]) & (targets >= 0)
-    safe_t = jnp.maximum(targets, 0)
-    num = jnp.where(
-        valid, jnp.take_along_axis(lp, safe_t[..., None], axis=-1)[..., 0], 0.0
-    ).sum(axis=1)
-    return -(num - logZ)
+    return logZ
 
 
-def _chain_fwd(lp, targets, lengths, graph_arrays):
-    return chain_loss_from_log_probs(lp, targets, lengths, graph_arrays), (
-        lp,
-        targets,
-        lengths,
-        graph_arrays,
-    )
+def _den_fwd(lp, lengths, graph_arrays):
+    return den_logz(lp, lengths, graph_arrays), (lp, lengths, graph_arrays)
 
 
-def _chain_bwd(res, g):
-    lp, targets, lengths, graph_arrays = res
+def _den_bwd(res, g):
+    lp, lengths, graph_arrays = res
     from_s, to_s, pdf, weight, finals, log_leak = graph_arrays
     S = finals.shape[0]
     B, T, V = lp.shape
@@ -413,15 +457,125 @@ def _chain_bwd(res, g):
         (alphas[:-1], beta_next, lp_tfirst, jnp.arange(T)),
     )
     den_occ = jnp.moveaxis(occs, 0, 1)  # [B, T, V]
+    grad_lp = den_occ * g[:, None, None]
+    return grad_lp, None, None
 
+
+den_logz.defvjp(_den_fwd, _den_bwd)
+
+
+def chain_loss_from_log_probs(lp, targets, lengths, graph_arrays):
+    """Per-example -(num - den). lp: [B, T, V] log-probs; targets: [B, T]
+    alignment pdf-ids (-1 pad); graph_arrays as for ``den_logz``. The
+    alignment numerator is a plain gather (autodiff gives the one-hot
+    occupancy); the denominator uses the analytic custom_vjp."""
+    B, T, V = lp.shape
     t_idx = jnp.arange(T)[None, :]
     valid = (t_idx < lengths[:, None]) & (targets >= 0)
-    num_occ = jax.nn.one_hot(jnp.maximum(targets, 0), V) * valid[..., None]
-    grad_lp = -(num_occ - den_occ) * g[:, None, None]
-    return grad_lp, None, None, None
+    safe_t = jnp.maximum(targets, 0)
+    num = jnp.where(
+        valid, jnp.take_along_axis(lp, safe_t[..., None], axis=-1)[..., 0], 0.0
+    ).sum(axis=1)
+    return -(num - den_logz(lp, lengths, graph_arrays))
 
 
-chain_loss_from_log_probs.defvjp(_chain_fwd, _chain_bwd)
+# ---------------------------------------------------------------------------
+# Per-utterance numerator FSTs (full PyChain parity: reference
+# espresso/data/asr_chain_dataset.py NumeratorGraphDataset :92 +
+# pychain numerator forward-backward). Each utterance has its own small
+# acceptor over pdf-ids; the batch packs them into padded arc arrays and the
+# forward runs as ONE scan over time with a flat batched segment-logsumexp —
+# every arc of every graph in the batch is processed in parallel on the VPU.
+# ---------------------------------------------------------------------------
+
+
+def _flat_segment_logsumexp(values: jnp.ndarray, segments: jnp.ndarray, num: int):
+    """1-D segmented logsumexp: values [N] grouped by segments [N] -> [num]."""
+    m = jax.ops.segment_max(values, segments, num_segments=num)
+    m_safe = jnp.maximum(m, NEG_INF)
+    s = jax.ops.segment_sum(
+        jnp.exp(values - m_safe[segments]), segments, num_segments=num
+    )
+    return jnp.where(m > NEG_INF / 2, m_safe + jnp.log(jnp.maximum(s, 1e-30)), NEG_INF)
+
+
+def pack_numerator_graphs(
+    graphs: Sequence["DenominatorGraph"],
+    max_arcs: Optional[int] = None,
+    max_states: Optional[int] = None,
+) -> dict:
+    """Pack per-utterance numerator FSTs into padded batch arrays (keys are
+    the batch-dict fields consumed by the LF-MMI criterion). Padding arcs
+    carry NEG_INF weight so they contribute nothing to the logsumexp;
+    padding states are non-final. Start state of every graph must be 0
+    (``from_fst_binary`` remaps on load)."""
+    A = max_arcs or max(len(g.from_state) for g in graphs)
+    S = max_states or max(g.num_states for g in graphs)
+    B = len(graphs)
+    out = {
+        "num_from": np.zeros((B, A), np.int32),
+        "num_to": np.zeros((B, A), np.int32),
+        "num_pdf": np.zeros((B, A), np.int32),
+        "num_weight": np.full((B, A), NEG_INF, np.float32),
+        "num_final": np.full((B, S), NEG_INF, np.float32),
+    }
+    for b, g in enumerate(graphs):
+        a, s = len(g.from_state), g.num_states
+        if a > A or s > S:
+            raise ValueError(
+                f"numerator graph {b} exceeds pack capacity ({a}>{A} or {s}>{S})"
+            )
+        out["num_from"][b, :a] = g.from_state
+        out["num_to"][b, :a] = g.to_state
+        out["num_pdf"][b, :a] = g.pdf
+        out["num_weight"][b, :a] = g.weight
+        out["num_final"][b, :s] = g.final_weights
+    return out
+
+
+def numerator_scores(
+    lp: jnp.ndarray,
+    lengths: jnp.ndarray,
+    num_from: jnp.ndarray,
+    num_to: jnp.ndarray,
+    num_pdf: jnp.ndarray,
+    num_weight: jnp.ndarray,
+    num_final: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched numerator forward score: [B] log-prob of each utterance's
+    numerator FST against lp [B, T, V]. Differentiable by autodiff (the
+    numerator graphs are tiny, so storing the scan residuals is cheap; the
+    gradient is exactly the numerator occupancy)."""
+    B, T, V = lp.shape
+    A = num_from.shape[1]
+    S = num_final.shape[1]
+    offs = (jnp.arange(B) * S)[:, None]  # [B, 1]
+    flat_to = (num_to + offs).reshape(-1)  # [B*A]
+    alpha0 = jnp.full((B, S), NEG_INF).at[:, 0].set(0.0)
+
+    def step(alpha, inputs):
+        t, lp_t = inputs  # lp_t [B, V]
+        arc_scores = (
+            jnp.take_along_axis(alpha, num_from, axis=1)
+            + num_weight
+            + jnp.take_along_axis(lp_t, num_pdf, axis=1)
+        )  # [B, A]
+        new_alpha = _flat_segment_logsumexp(
+            arc_scores.reshape(-1), flat_to, B * S
+        ).reshape(B, S)
+        active = (t < lengths)[:, None]
+        return jnp.where(active, new_alpha, alpha), None
+
+    lp_tfirst = jnp.moveaxis(lp, 1, 0)
+    alpha_T, _ = jax.lax.scan(step, alpha0, (jnp.arange(T), lp_tfirst))
+    return jax.nn.logsumexp(alpha_T + num_final, axis=-1)
+
+
+def chain_loss_fst_from_log_probs(lp, lengths, num_arrays, graph_arrays):
+    """Per-example -(num - den) with per-utterance numerator FSTs.
+    num_arrays: (num_from, num_to, num_pdf, num_weight, num_final)."""
+    num = numerator_scores(lp, lengths, *num_arrays)
+    return -(num - den_logz(lp, lengths, graph_arrays))
 
 
 def chain_loss(
@@ -440,6 +594,11 @@ def chain_loss(
     coeff · pi(dest), which smooths the denominator and avoids numerical
     die-off on long utterances."""
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    graph_arrays = _graph_arrays(graph, leaky_hmm_coefficient, leaky_mode)
+    return chain_loss_from_log_probs(lp, targets, lengths, graph_arrays)
+
+
+def _graph_arrays(graph, leaky_hmm_coefficient, leaky_mode):
     if leaky_hmm_coefficient > 0.0:
         pi = graph.leaky_probs(leaky_mode)
         log_leak = jnp.asarray(
@@ -447,7 +606,7 @@ def chain_loss(
         )
     else:
         log_leak = None
-    graph_arrays = (
+    return (
         jnp.asarray(graph.from_state),
         jnp.asarray(graph.to_state),
         jnp.asarray(graph.pdf),
@@ -455,4 +614,21 @@ def chain_loss(
         jnp.asarray(graph.final_weights),
         log_leak,
     )
-    return chain_loss_from_log_probs(lp, targets, lengths, graph_arrays)
+
+
+def chain_loss_fst(
+    logits: jnp.ndarray,
+    lengths: jnp.ndarray,
+    num_arrays: Tuple[jnp.ndarray, ...],
+    graph: DenominatorGraph,
+    leaky_hmm_coefficient: float = 0.0,
+    leaky_mode: str = "stationary",
+) -> jnp.ndarray:
+    """LF-MMI per-example loss with per-utterance numerator FSTs (full
+    PyChain parity — reference lf_mmi_loss.py computes the numerator score
+    by forward-backward over each utterance's numerator graph, not a fixed
+    alignment). num_arrays = (num_from, num_to, num_pdf, num_weight,
+    num_final) from ``pack_numerator_graphs``."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    graph_arrays = _graph_arrays(graph, leaky_hmm_coefficient, leaky_mode)
+    return chain_loss_fst_from_log_probs(lp, lengths, num_arrays, graph_arrays)

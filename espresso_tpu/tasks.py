@@ -320,6 +320,19 @@ class SpeechRecognitionHybridTask(SpeechRecognitionEspressoTask):
         from espresso_tpu.data.xent_dataset import AsrXentDataset, XentEntry
 
         entries = load_manifest(self.cfg.dataset.data, split)
+        if entries and entries[0].numerator_fst:
+            # per-utterance numerator FSTs -> LF-MMI chain dataset
+            # (reference asr_chain_dataset.py; alignments fall through to xent)
+            from espresso_tpu.data.chain_dataset import AsrChainDataset
+
+            ds = AsrChainDataset.from_manifest(
+                entries, feat_dim=self.cfg.dataset.feat_dim
+            )
+            probe = kaldi_io.read_mat(ds.entries[0].feat)
+            if probe.shape[1] != self.feat_dim:
+                self.feat_dim = probe.shape[1]
+            self.datasets[split] = ds
+            return ds
         xent_entries = [
             XentEntry(
                 utt_id=e.utt_id,
