@@ -345,6 +345,12 @@ def main(argv=None) -> Dict[str, float]:
     num_updates = int(state.step)
     final_stats: Dict[str, float] = {}
 
+    # hung-job watchdog (reference DistributedTimeoutWrapper,
+    # --heartbeat-timeout): pinged after every dispatched step + validation;
+    # kills the process (for checkpoint-resume by the scheduler) on stall
+    from espresso_tpu.train.heartbeat import HeartbeatMonitor
+
+    hb = HeartbeatMonitor(cfg.distributed.heartbeat_timeout).start()
     try:
         state, num_updates, final_stats = _train_loop(
             cfg,
@@ -369,6 +375,7 @@ def main(argv=None) -> Dict[str, float]:
             patience_left,
             num_updates,
             rebuild_train_step,
+            hb,
         )
     except Exception:
         # crash checkpoint (reference trainer.py:858-863 crash.pt)
@@ -382,6 +389,8 @@ def main(argv=None) -> Dict[str, float]:
             )
             logger.error("exception — saved checkpoint_crash")
         raise
+    finally:
+        hb.stop()
 
     logger.info("done training at %d updates", num_updates)
     return final_stats
@@ -410,6 +419,7 @@ def _train_loop(
     patience_left,
     num_updates,
     rebuild_train_step=None,
+    hb=None,
 ):
     final_stats: Dict[str, float] = {}
     while train_itr.next_epoch_idx <= max_epoch and num_updates < max_update:
@@ -463,6 +473,8 @@ def _train_loop(
                 else _acc_metrics(metrics_acc, metrics)
             )
             metrics_n += 1
+            if hb is not None:
+                hb.ping()
             interval = cfg.criterion.print_training_sample_interval
             if (
                 interval > 0
@@ -509,6 +521,8 @@ def _train_loop(
         val_stats = validate(
             cfg, task, model, criterion, valid_step, state, valid_itr_epoch, None
         )
+        if hb is not None:
+            hb.ping()
         vp = ProgressLogger(log_format=cfg.common.log_format, tag="valid")
         vp.print_epoch(val_stats, epoch)
         metric_name = cfg.checkpoint.best_checkpoint_metric

@@ -64,6 +64,10 @@ class DistributedConfig:
     # shard encoder activations' time axis over 'model' at layer boundaries
     # (Megatron sequence parallelism; needs model_parallel_size > 1)
     sequence_parallel: bool = False
+    # kill the job if no training progress for this many seconds (reference
+    # DistributedTimeoutWrapper / --heartbeat-timeout, configs.py:335-341);
+    # <= 0 disables
+    heartbeat_timeout: int = -1
     # multi-host init (jax.distributed.initialize) — no-op single host
     coordinator_address: Optional[str] = None
     num_processes: int = 1
