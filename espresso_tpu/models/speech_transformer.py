@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from espresso_tpu.models.base import EncoderOut
 from espresso_tpu.modules.attention import MultiheadAttention
+from espresso_tpu.modules.base_layer import BaseLayer
 from espresso_tpu.modules.conformer import (
     ConformerEncoderLayer,
     TransformerEncoderLayer,
@@ -82,6 +83,13 @@ class SpeechTransformerConfig:
     decoder_learned_pos: bool = False
     share_decoder_input_output_embed: bool = True
     max_target_positions: int = 1024
+    # BASE MoE layers interleaved among decoder layers (reference
+    # --base-layers/--base-sublayers/--base-shuffle, fairseq BaseLayer);
+    # experts shard over the 'model' mesh axis (expert parallelism)
+    base_layers: int = 0
+    base_experts: int = 4
+    base_sublayers: int = 1
+    base_shuffle: bool = True
     dropout: float = 0.1
     pad_index: int = 1
     # GPipe pipeline parallelism over the 'stage' mesh axis: encoder layers
@@ -424,6 +432,23 @@ class SpeechTransformerModel(nn.Module):
             )
             for i in range(cfg.decoder_layers)
         ]
+        # BASE MoE layers at reference positions (i+1)·L/(B+1) — applied
+        # after the decoder layer with that 1-based index
+        self.base_positions = tuple(
+            (i + 1) * cfg.decoder_layers // (cfg.base_layers + 1)
+            for i in range(cfg.base_layers)
+        )
+        self.base_layers_list = [
+            BaseLayer(
+                embed_dim=cfg.decoder_embed_dim,
+                ffn_dim=cfg.decoder_ffn_dim,
+                num_experts=cfg.base_experts,
+                sublayers=cfg.base_sublayers,
+                shuffle=cfg.base_shuffle,
+                name=f"base{i}",
+            )
+            for i in range(cfg.base_layers)
+        ]
         self.decoder_norm = nn.LayerNorm(name="decoder_norm")
         self.drop_dec = nn.Dropout(rate=cfg.dropout)
         if not cfg.share_decoder_input_output_embed:
@@ -457,7 +482,7 @@ class SpeechTransformerModel(nn.Module):
         causal = jnp.where(
             jnp.tril(jnp.ones((U, U), bool)), 0.0, NEG_INF
         ).astype(jnp.float32)
-        for layer in self.decoder_layers_list:
+        for j, layer in enumerate(self.decoder_layers_list):
             x, _, _ = layer(
                 x,
                 enc.encoder_out,
@@ -465,6 +490,9 @@ class SpeechTransformerModel(nn.Module):
                 self_attn_mask=causal,
                 train=train,
             )
+            for b, pos in enumerate(self.base_positions):
+                if pos == j + 1:
+                    x = self.base_layers_list[b](x, train=train)
         x = self.decoder_norm(x)
         return self.output_projection(x)
 
@@ -499,7 +527,9 @@ class SpeechTransformerModel(nn.Module):
         )[None]
         new_cache = []
         attn = None
-        for layer, layer_cache in zip(self.decoder_layers_list, cache):
+        for j, (layer, layer_cache) in enumerate(
+            zip(self.decoder_layers_list, cache)
+        ):
             x, attn, updated = layer(
                 x,
                 enc.encoder_out,
@@ -508,6 +538,10 @@ class SpeechTransformerModel(nn.Module):
                 cache_index=step_index,
             )
             new_cache.append(updated)
+            for b, pos in enumerate(self.base_positions):
+                if pos == j + 1:
+                    # greedy per-token routing at decode time (stateless)
+                    x = self.base_layers_list[b](x, train=False)
         x = self.decoder_norm(x)
         logits = self.output_projection(x)[:, 0]
         return logits, new_cache, (attn[:, 0] if attn is not None else None)

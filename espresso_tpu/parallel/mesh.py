@@ -89,6 +89,10 @@ TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*(fc1|ffn1/Dense_0|ffn2/Dense_0)/kernel$", P(None, "model")),
     (r".*(fc2|ffn1/Dense_1|ffn2/Dense_1)/kernel$", P("model", None)),
     (r".*embed_tokens/embedding$", P("model", None)),
+    # BASE MoE layers: expert-parallelism = leading expert axis over 'model'
+    # (the routing gather/scatter becomes an XLA all-to-all under GSPMD)
+    (r".*base\d+/expert_centroids$", P("model", None)),
+    (r".*base\d+/(ff1_kernel|ff2_kernel|ff1_bias|ff2_bias|ln_scale|ln_bias)_\d+$", P("model")),
 )
 
 
