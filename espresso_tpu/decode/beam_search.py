@@ -89,7 +89,7 @@ class BeamSearchDecoder:
         self._jitted: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------
-    def _search_fn(self, max_len: int, pref_len: int = 0):
+    def _search_fn(self, max_len: int, pref_len: int = 0, nc: int = 0, cl: int = 0):
         K = self.beam
         eos, pad = self.eos, self.pad
         min_len = self.min_len
@@ -109,8 +109,19 @@ class BeamSearchDecoder:
         G = self.div_groups
         div_strength = self.div_strength
 
+        if nc > 0 and (sampling or G > 1):
+            raise ValueError(
+                "lexical constraints are not supported with sampling or "
+                "diverse beam groups (reference has the same restriction)"
+            )
+
         def run(
-            variables_list, lm_variables, src_frames, src_lengths, pref_toks
+            variables_list,
+            lm_variables,
+            src_frames,
+            src_lengths,
+            pref_toks,
+            cons=None,
         ):
             B = src_frames.shape[0]
             BK = B * K
@@ -142,6 +153,12 @@ class BeamSearchDecoder:
             fin_scores0 = jnp.full((B, K), NEG_INF)
             fin_raw0 = jnp.full((B, K), NEG_INF)
             fin_lens0 = jnp.zeros((B, K), jnp.int32)
+            # lexically-constrained decoding state: per-(beam, constraint)
+            # progress pointer (tokens of the phrase matched so far)
+            ptr0 = jnp.zeros((B, K, max(nc, 1)), jnp.int32)
+            if nc > 0:
+                cons_len = (cons != pad).sum(axis=-1)  # [B, NC]
+                total_cons = cons_len.sum(axis=-1)  # [B]
 
             def step_fn(carry, step):
                 (
@@ -153,6 +170,7 @@ class BeamSearchDecoder:
                     fin_scores,
                     fin_raw,
                     fin_lens,
+                    ptr,
                 ) = carry
                 cur_tok = jax.lax.dynamic_slice_in_dim(
                     tokens.reshape(BK, -1), step, 1, axis=1
@@ -324,6 +342,57 @@ class BeamSearchDecoder:
                     top_scores = jnp.concatenate(s_parts, axis=1)
                     beam_idx = jnp.concatenate(b_parts, axis=1)
                     tok_idx = jnp.concatenate(t_parts, axis=1)
+                elif nc > 0:
+                    # Lexically-constrained beam search (reference
+                    # fairseq/search.py LexicallyConstrainedBeamSearch:210 +
+                    # token_generation_constraints.py; Post & Vilar 2018
+                    # dynamic beam allocation, Hu et al. 2019 unordered
+                    # constraints). Candidates = standard top-2K PLUS, for
+                    # every (beam, constraint), the token that advances that
+                    # constraint; selection reserves a slot for the best
+                    # candidate of every progress bank.
+                    cand = scores.reshape(BK, 1) + lprobs
+                    top_scores_a, top_idx_a = jax.lax.top_k(
+                        cand.reshape(B, K * V), 2 * K
+                    )
+                    beam_a = top_idx_a // V
+                    tok_a = (top_idx_a % V).astype(jnp.int32)
+                    # advance candidates: next required token per constraint
+                    safe_ptr = jnp.minimum(ptr, cl - 1)  # [B, K, NC]
+                    next_tok = jnp.take_along_axis(
+                        jnp.broadcast_to(cons[:, None], (B, K, nc, cl)),
+                        safe_ptr[..., None],
+                        axis=3,
+                    )[..., 0]  # [B, K, NC]
+                    unfinished = ptr < cons_len[:, None, :]
+                    lp3 = lprobs.reshape(B, K, V)
+                    adv_scores = scores[:, :, None] + jnp.take_along_axis(
+                        lp3, next_tok, axis=2
+                    )  # [B, K, NC]
+                    adv_scores = jnp.where(unfinished, adv_scores, NEG_INF)
+                    beam_b = jnp.broadcast_to(
+                        jnp.arange(K)[None, :, None], (B, K, nc)
+                    ).reshape(B, K * nc)
+                    tok_b = next_tok.reshape(B, K * nc)
+                    scores_b = adv_scores.reshape(B, K * nc)
+                    # every beam also gets an explicit eos candidate: a
+                    # constraint-complete hypothesis must be able to finish
+                    # even when unconstrained beams crowd the top-2K
+                    scores_e = scores + lp3[:, :, eos]  # [B, K]
+                    beam_e = jnp.broadcast_to(jnp.arange(K)[None], (B, K))
+                    tok_e = jnp.full((B, K), eos, jnp.int32)
+                    beam_b = jnp.concatenate([beam_b, beam_e], axis=1)
+                    tok_b = jnp.concatenate([tok_b, tok_e], axis=1)
+                    scores_b = jnp.concatenate([scores_b, scores_e], axis=1)
+                    # dedup against the top-2K list (same beam + token)
+                    dupe = (
+                        (beam_b[:, :, None] == beam_a[:, None, :])
+                        & (tok_b[:, :, None] == tok_a[:, None, :])
+                    ).any(axis=2)
+                    scores_b = jnp.where(dupe, NEG_INF, scores_b)
+                    top_scores = jnp.concatenate([top_scores_a, scores_b], 1)
+                    beam_idx = jnp.concatenate([beam_a, beam_b], axis=1)
+                    tok_idx = jnp.concatenate([tok_a, tok_b], axis=1)
                 else:
                     cand = scores.reshape(BK, 1) + lprobs  # [BK, V]
                     cand = cand.reshape(B, K * V)
@@ -331,20 +400,57 @@ class BeamSearchDecoder:
                     beam_idx = top_idx // V  # [B, 2K]
                     tok_idx = (top_idx % V).astype(jnp.int32)
 
+                if nc > 0:
+                    # constraint-pointer transition for EVERY candidate:
+                    # advance the first constraint whose next token matches;
+                    # any other in-progress (0 < ptr < len) phrase resets
+                    NCand = tok_idx.shape[1]
+                    cptr = jnp.take_along_axis(
+                        ptr, beam_idx[:, :, None], axis=1
+                    )  # [B, NCand, NC]
+                    safe_cptr = jnp.minimum(cptr, cl - 1)
+                    req = jnp.take_along_axis(
+                        jnp.broadcast_to(cons[:, None], (B, NCand, nc, cl)),
+                        safe_cptr[..., None],
+                        axis=3,
+                    )[..., 0]  # [B, NCand, NC]
+                    open_c = cptr < jnp.broadcast_to(
+                        cons_len[:, None, :], (B, NCand, nc)
+                    )
+                    hits = (tok_idx[:, :, None] == req) & open_c
+                    first = jnp.argmax(hits, axis=2)
+                    any_hit = hits.any(axis=2)
+                    advance = (
+                        jax.nn.one_hot(first, nc, dtype=bool)
+                        & any_hit[:, :, None]
+                        & hits
+                    )
+                    cand_ptr = jnp.where(
+                        advance,
+                        cptr + 1,
+                        jnp.where(open_c & (cptr > 0), 0, cptr),
+                    )
+                    cand_met = cand_ptr.sum(axis=2)  # [B, NCand]
+                    all_met = cand_met >= total_cons[:, None]
+
                 is_eos = tok_idx == eos
+                # a hypothesis may only finish once every constraint is met
+                # (reference ConstraintSequence finished gate); eos tokens of
+                # unmet hypotheses are dropped from BOTH buffers
+                can_finish = is_eos & all_met if nc > 0 else is_eos
                 # --- finalize eos candidates ------------------------------
                 new_len = step + 1  # tokens emitted including eos
                 norm = top_scores / jnp.maximum(
                     new_len.astype(jnp.float32) ** lenpen, 1e-6
                 )
-                eos_norm = jnp.where(is_eos, norm, NEG_INF)
-                # gather candidate token rows [B, 2K, L+1]
+                eos_norm = jnp.where(can_finish, norm, NEG_INF)
+                # gather candidate token rows [B, NCand, L+1]
                 flat_beam = (
                     jnp.arange(B)[:, None] * K + beam_idx
                 ).reshape(-1)
                 cand_tokens = jnp.take(
                     tokens.reshape(BK, -1), flat_beam, axis=0
-                ).reshape(B, 2 * K, -1)
+                ).reshape(B, tok_idx.shape[1], -1)
                 cand_tokens = jax.lax.dynamic_update_slice_in_dim(
                     cand_tokens,
                     tok_idx[:, :, None],
@@ -353,11 +459,15 @@ class BeamSearchDecoder:
                 )
                 all_scores = jnp.concatenate([fin_scores, eos_norm], axis=1)
                 all_raw = jnp.concatenate(
-                    [fin_raw, jnp.where(is_eos, top_scores, NEG_INF)], axis=1
+                    [fin_raw, jnp.where(can_finish, top_scores, NEG_INF)],
+                    axis=1,
                 )
                 all_tokens = jnp.concatenate([fin_tokens, cand_tokens], axis=1)
                 all_lens = jnp.concatenate(
-                    [fin_lens, jnp.full((B, 2 * K), new_len, jnp.int32)],
+                    [
+                        fin_lens,
+                        jnp.full((B, tok_idx.shape[1]), new_len, jnp.int32),
+                    ],
                     axis=1,
                 )
                 fin_scores, keep = jax.lax.top_k(all_scores, K)
@@ -382,6 +492,31 @@ class BeamSearchDecoder:
                         sel_parts.append(sel_g + 2 * Kg * g)
                     new_scores = jnp.concatenate(ns_parts, axis=1)
                     sel = jnp.concatenate(sel_parts, axis=1)
+                elif nc > 0:
+                    # dynamic beam allocation (Post & Vilar 2018): reserve a
+                    # slot for the best candidate of every constraint-progress
+                    # bank so hypotheses making progress are never crowded
+                    # out; remaining slots go to the global best
+                    viable = cont_scores > NEG_INF / 2
+                    M = nc * cl
+                    bank = jnp.clip(cand_met, 0, M)
+                    bank_max = (
+                        jnp.full((B, M + 1), NEG_INF)
+                        .at[jnp.arange(B)[:, None], bank]
+                        .max(cont_scores)
+                    )
+                    is_bank_best = viable & (
+                        cont_scores
+                        >= jnp.take_along_axis(bank_max, bank, axis=1) - 1e-6
+                    )
+                    sel_key = jnp.where(
+                        is_bank_best, cont_scores + 1e7, cont_scores
+                    )
+                    _, sel = jax.lax.top_k(sel_key, K)
+                    new_scores = jnp.take_along_axis(cont_scores, sel, axis=1)
+                    ptr = jnp.take_along_axis(
+                        cand_ptr, sel[:, :, None], axis=1
+                    )
                 else:
                     new_scores, sel = jax.lax.top_k(cont_scores, K)  # [B, K]
                 sel_beam = jnp.take_along_axis(beam_idx, sel, axis=1)
@@ -408,6 +543,7 @@ class BeamSearchDecoder:
                     fin_scores,
                     fin_raw,
                     fin_lens,
+                    ptr,
                 ), None
 
             carry = (
@@ -419,6 +555,7 @@ class BeamSearchDecoder:
                 fin_scores0,
                 fin_raw0,
                 fin_lens0,
+                ptr0,
             )
             carry, _ = jax.lax.scan(step_fn, carry, jnp.arange(max_len))
             (
@@ -430,6 +567,7 @@ class BeamSearchDecoder:
                 fin_scores,
                 fin_raw,
                 fin_lens,
+                _,
             ) = carry
             # fall back to unfinished best beam when nothing finalized
             no_fin = fin_scores[:, 0] <= NEG_INF / 2
@@ -449,8 +587,11 @@ class BeamSearchDecoder:
 
     # ------------------------------------------------------------------
     def decode(
-        self, variables, batch, prefix_tokens=None
+        self, variables, batch, prefix_tokens=None, constraints=None
     ) -> List[List[Dict[str, Any]]]:
+        """``constraints``: optional [B, NC, CL] int array of token phrases
+        (pad-padded) that every finished hypothesis must contain
+        (lexically-constrained decoding, fairseq search.py:210)."""
         src_frames = jnp.asarray(batch["src_frames"])
         src_lengths = jnp.asarray(batch["src_lengths"])
         T = src_frames.shape[1]
@@ -462,9 +603,14 @@ class BeamSearchDecoder:
         else:
             prefix_tokens = jnp.zeros((src_frames.shape[0], 0), jnp.int32)
             pref_len = 0
-        key = (src_frames.shape, max_len, pref_len)
+        if constraints is not None:
+            constraints = jnp.asarray(constraints, jnp.int32)
+            nc, cl = int(constraints.shape[1]), int(constraints.shape[2])
+        else:
+            nc = cl = 0
+        key = (src_frames.shape, max_len, pref_len, nc, cl)
         if key not in self._jitted:
-            self._jitted[key] = self._search_fn(max_len, pref_len)
+            self._jitted[key] = self._search_fn(max_len, pref_len, nc, cl)
         variables_list = (
             variables if isinstance(variables, (list, tuple)) else [variables]
         )
@@ -474,6 +620,7 @@ class BeamSearchDecoder:
             src_frames,
             src_lengths,
             prefix_tokens,
+            constraints,
         )
         fin_tokens = np.asarray(fin_tokens)
         fin_scores = np.asarray(fin_scores)

@@ -202,3 +202,83 @@ def test_diverse_groups_requires_divisible_beam():
             _FixedLprobModel(np.zeros(len(d))), d, beam_size=5,
             diverse_beam_groups=2,
         )
+
+
+# ---------------------------------------------------------------------------
+# lexically-constrained beam search (fairseq search.py
+# LexicallyConstrainedBeamSearch + token_generation_constraints; Post&Vilar
+# 2018 dynamic beam allocation)
+# ---------------------------------------------------------------------------
+
+
+def test_constrained_decoding_forces_rare_token():
+    d = _dict()
+    V = len(d)
+    a, b = d.index("u0"), d.index("u1")
+    row = np.full((V,), -10.0, np.float32)
+    row[a] = -0.1
+    row[b] = -6.0  # strongly dispreferred
+    row[d.eos()] = -0.5
+    model = _FixedLprobModel(row)
+    dec = BeamSearchDecoder(model, d, beam_size=4, max_len_b=6, min_len=1)
+
+    # unconstrained: never emits b
+    out = dec.decode({}, _batch())
+    assert b not in list(out[0][0]["tokens"])
+
+    # constrained on b: top hypothesis must contain it
+    cons = np.full((1, 1, 1), d.pad(), np.int32)
+    cons[0, 0, 0] = b
+    out_c = dec.decode({}, _batch(), constraints=cons)
+    assert b in list(out_c[0][0]["tokens"])
+
+
+def test_constrained_decoding_phrase_contiguous():
+    d = _dict()
+    V = len(d)
+    a, b, c = d.index("u0"), d.index("u1"), d.index("u2")
+    row = np.full((V,), -10.0, np.float32)
+    row[a] = -0.1
+    row[b] = -5.0
+    row[c] = -5.0
+    row[d.eos()] = -0.7
+    model = _FixedLprobModel(row)
+    dec = BeamSearchDecoder(model, d, beam_size=4, max_len_b=8, min_len=1)
+    cons = np.full((1, 1, 2), d.pad(), np.int32)
+    cons[0, 0, :] = [b, c]  # phrase "b c" must appear contiguously
+    out = dec.decode({}, _batch(T=8), constraints=cons)
+    toks = list(out[0][0]["tokens"])
+    assert any(
+        toks[i] == b and toks[i + 1] == c for i in range(len(toks) - 1)
+    ), toks
+
+
+def test_constrained_decoding_multiple_constraints_and_batch():
+    d = _dict()
+    V = len(d)
+    a, b, c = d.index("u0"), d.index("u1"), d.index("u2")
+    row = np.full((V,), -10.0, np.float32)
+    row[a] = -0.1
+    row[b] = -4.0
+    row[c] = -4.5
+    row[d.eos()] = -0.7
+    model = _FixedLprobModel(row)
+    dec = BeamSearchDecoder(model, d, beam_size=4, max_len_b=8, min_len=1)
+    # sentence 0: require both b and c; sentence 1: unconstrained (all pad)
+    cons = np.full((2, 2, 1), d.pad(), np.int32)
+    cons[0, 0, 0] = b
+    cons[0, 1, 0] = c
+    out = dec.decode({}, _batch(B=2, T=8), constraints=cons)
+    toks0 = list(out[0][0]["tokens"])
+    assert b in toks0 and c in toks0
+    toks1 = list(out[1][0]["tokens"])
+    assert b not in toks1 and c not in toks1
+
+
+def test_constraints_reject_sampling_combo():
+    d = _dict()
+    model = _FixedLprobModel(np.zeros(len(d), np.float32))
+    dec = BeamSearchDecoder(model, d, beam_size=2, sampling=True)
+    cons = np.zeros((1, 1, 1), np.int32)
+    with pytest.raises(ValueError):
+        dec.decode({}, _batch(), constraints=cons)
