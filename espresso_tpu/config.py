@@ -140,6 +140,7 @@ class CheckpointConfig:
 @dataclass
 class GenerationConfig:
     beam: int = 1
+    nbest: int = 1  # hypotheses to report per utterance (interactive CLI)
     max_len_a: float = 0.0
     max_len_b: int = 200
     min_len: int = 1

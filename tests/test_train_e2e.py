@@ -177,3 +177,20 @@ def test_train_update_freq_grad_accum(tmp_path):
         + ["optimization.max_epoch=1", "optimization.update_freq=2"]
     )
     assert np.isfinite(stats["loss"])
+
+
+def test_validate_cli_matches_training_valid_loss(tmp_path):
+    from espresso_tpu.cli.train import main as train_main
+    from espresso_tpu.cli.validate import main as validate_main
+
+    d = _corpus(tmp_path)
+    args = (
+        [f"dataset.data={d}", f"checkpoint.save_dir={d}/ckpt",
+         f"dataset.dict={d}/dict.txt"]
+        + BASE_ARGS
+        + SMALL_LSTM
+    )
+    stats = train_main(args + ["optimization.max_epoch=1"])
+    out = validate_main(args + ["dataset.valid_subset=valid"])
+    assert "valid" in out
+    assert abs(out["valid"]["loss"] - stats["valid_loss"]) < 1e-3
