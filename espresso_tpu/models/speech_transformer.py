@@ -75,6 +75,13 @@ class SpeechTransformerConfig:
     # checkpointing; reference checkpoint_activations wrapper,
     # speech_transformer_encoder.py:205-208)
     remat: bool = False
+    # LayerDrop (fairseq/modules/layer_drop.py; Fan et al. 2019): each layer
+    # is skipped with this probability during training. Under jit the layer
+    # still computes and its output is gated (static graph) — the
+    # regularization is identical, only the torch-side compute saving is not
+    # replicated (irrelevant on TPU: dynamic graphs would force recompiles)
+    encoder_layerdrop: float = 0.0
+    decoder_layerdrop: float = 0.0
     # decoder
     decoder_embed_dim: int = 256
     decoder_ffn_dim: int = 1024
@@ -226,6 +233,7 @@ class SpeechTransformerEncoder(nn.Module):
             conformer_cls = nn.remat(ConformerEncoderLayer, static_argnums=(5,))
             transformer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(5,))
         for i in range(cfg.encoder_layers):
+            x_in = x
             if cfg.encoder_layer_type == "conformer":
                 x = conformer_cls(
                     cfg.encoder_embed_dim,
@@ -246,6 +254,12 @@ class SpeechTransformerEncoder(nn.Module):
                     use_relative_pos=cfg.encoder_pos_type == "relative",
                     name=f"layer{i}",
                 )(x, padding_mask, attn_mask, rel_pos, train)
+            if cfg.encoder_layerdrop > 0.0 and train:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(self.make_rng("dropout"), i),
+                    1.0 - cfg.encoder_layerdrop,
+                )
+                x = jnp.where(keep, x, x_in)
             if seq_constraint is not None:
                 # re-anchor the sequence sharding at each residual boundary
                 x = jax.lax.with_sharding_constraint(x, seq_constraint)
@@ -483,6 +497,7 @@ class SpeechTransformerModel(nn.Module):
             jnp.tril(jnp.ones((U, U), bool)), 0.0, NEG_INF
         ).astype(jnp.float32)
         for j, layer in enumerate(self.decoder_layers_list):
+            x_in = x
             x, _, _ = layer(
                 x,
                 enc.encoder_out,
@@ -490,6 +505,12 @@ class SpeechTransformerModel(nn.Module):
                 self_attn_mask=causal,
                 train=train,
             )
+            if cfg.decoder_layerdrop > 0.0 and train:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(self.make_rng("dropout"), 1000 + j),
+                    1.0 - cfg.decoder_layerdrop,
+                )
+                x = jnp.where(keep, x, x_in)
             for b, pos in enumerate(self.base_positions):
                 if pos == j + 1:
                     x = self.base_layers_list[b](x, train=train)

@@ -261,3 +261,28 @@ def test_dropout_training_paths():
         rngs={"dropout": jax.random.PRNGKey(1)},
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_layerdrop_gates_layers():
+    """encoder/decoder LayerDrop (fairseq layer_drop.py): with rate 1.0 every
+    layer is skipped, so the train forward must differ from rate 0.0 and the
+    rate-1.0 encoder output must equal the pre-layer input path."""
+    frames, lengths, prev = _batch()
+    cfg0 = small_transformer_cfg()
+    cfg1 = small_transformer_cfg(encoder_layerdrop=1.0, decoder_layerdrop=1.0)
+    m0 = SpeechTransformerModel(cfg0)
+    m1 = SpeechTransformerModel(cfg1)
+    variables = m0.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        frames, lengths, prev,
+    )
+    rngs = {"dropout": jax.random.PRNGKey(2)}
+    (y0, _), _ = m0.apply(variables, frames, lengths, prev, train=True,
+                          rngs=rngs, mutable=["batch_stats"])
+    (y1, _), _ = m1.apply(variables, frames, lengths, prev, train=True,
+                          rngs=rngs, mutable=["batch_stats"])
+    assert np.abs(np.asarray(y0) - np.asarray(y1)).max() > 1e-4
+    # eval path ignores layerdrop entirely
+    (e0, _), _ = m0.apply(variables, frames, lengths, prev, mutable=["batch_stats"])
+    (e1, _), _ = m1.apply(variables, frames, lengths, prev, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1), atol=1e-6)
