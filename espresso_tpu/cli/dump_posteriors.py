@@ -43,6 +43,9 @@ def main(argv=None):
         stream=sys.stdout,
     )
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
+    from espresso_tpu.config import apply_saved_model_cfg
+
+    apply_saved_model_cfg(cfg, argv if argv is not None else sys.argv[1:])
     # chunk-trained models are dumped chunk-by-chunk and re-stitched
     # (reference dump_posteriors.py:185-218); the dataset itself loads whole
     # utterances

@@ -78,6 +78,9 @@ def main(argv=None) -> int:
         buffer_size = int(argv[i + 1])
         del argv[i : i + 2]
     cfg = parse_config(argv)
+    from espresso_tpu.config import apply_saved_model_cfg
+
+    apply_saved_model_cfg(cfg, argv)
 
     src = open(input_path, encoding="utf-8") if input_path else sys.stdin
     entries = _parse_lines(src.readlines())

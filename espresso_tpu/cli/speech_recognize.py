@@ -152,6 +152,9 @@ def main(argv=None) -> Dict[str, float]:
         stream=sys.stdout,
     )
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
+    from espresso_tpu.config import apply_saved_model_cfg
+
+    apply_saved_model_cfg(cfg, argv if argv is not None else sys.argv[1:])
     task = setup_task(cfg)
     ds = task.load_dataset(cfg.dataset.gen_subset)
     model, variables = load_model_for_decoding(cfg, task)

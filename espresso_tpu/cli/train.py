@@ -207,7 +207,11 @@ def main(argv=None) -> Dict[str, float]:
 
     with open(_os.path.join(cfg.checkpoint.save_dir, "model_cfg.json"), "w") as f:
         _json.dump(
-            {"model_name": type(model).__name__, "config": _ctd(task.model_cfg)},
+            {
+                "model_name": type(model).__name__,
+                "name": cfg.model.get("name"),
+                "config": _ctd(task.model_cfg),
+            },
             f,
             indent=2,
         )

@@ -374,6 +374,40 @@ def parse_config(argv: List[str]) -> EspressoConfig:
     return cfg
 
 
+def apply_saved_model_cfg(cfg, argv: Optional[List[str]] = None):
+    """Decode-time model reconstruction (reference ``load_model_ensemble``'s
+    saved-cfg restore, espresso/speech_recognize.py:109 ``task_cfg=saved_cfg.task``):
+    if the checkpoint dir has a ``model_cfg.json`` written by the train CLI,
+    use the fully-resolved model section saved there, so decode commands don't
+    need to repeat every ``model.*`` flag. Explicit ``model.*`` CLI overrides
+    still win (reference ``--model-overrides``)."""
+    import json
+    import os
+
+    path = os.path.join(cfg.checkpoint.save_dir, "model_cfg.json")
+    if not os.path.exists(path):
+        return cfg
+    with open(path) as f:
+        blob = json.load(f)
+    if "name" not in blob:  # written before the section name was recorded
+        return cfg
+    section: Dict[str, Any] = {"name": blob["name"], **(blob.get("config") or {})}
+    for arg in argv or []:
+        if "=" not in arg:
+            continue
+        key, _, value = arg.partition("=")
+        key = key.lstrip("-").replace("-", "_")
+        if not key.startswith("model."):
+            continue
+        node = section
+        parts = key.split(".")[1:]
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = _coerce(value)
+    cfg.model = section
+    return cfg
+
+
 def config_to_dict(cfg: Any) -> Any:
     if dataclasses.is_dataclass(cfg):
         return {f.name: config_to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}

@@ -60,7 +60,7 @@ class SpeechTransformerConfig:
     encoder_layers: int = 12
     encoder_heads: int = 4
     encoder_layer_type: str = "transformer"  # transformer | conformer
-    encoder_pos_type: str = "abs"  # abs | relative | none
+    encoder_pos_type: str = "abs"  # abs | relative | rotary | none
     encoder_relative_max_size: int = 1024
     encoder_learned_pos: bool = False
     depthwise_conv_kernel_size: int = 31
@@ -138,6 +138,7 @@ def _make_encoder_layer(cfg: SpeechTransformerConfig, name: str):
             depthwise_kernel_size=cfg.depthwise_conv_kernel_size,
             dropout=cfg.dropout,
             use_relative_pos=cfg.encoder_pos_type == "relative",
+            use_rotary=cfg.encoder_pos_type == "rotary",
             conv_norm_type=cfg.conformer_norm_type,
             name=name,
         )
@@ -147,6 +148,7 @@ def _make_encoder_layer(cfg: SpeechTransformerConfig, name: str):
         cfg.encoder_heads,
         dropout=cfg.dropout,
         use_relative_pos=cfg.encoder_pos_type == "relative",
+        use_rotary=cfg.encoder_pos_type == "rotary",
         name=name,
     )
 
@@ -242,6 +244,7 @@ class SpeechTransformerEncoder(nn.Module):
                     depthwise_kernel_size=cfg.depthwise_conv_kernel_size,
                     dropout=cfg.dropout,
                     use_relative_pos=cfg.encoder_pos_type == "relative",
+                    use_rotary=cfg.encoder_pos_type == "rotary",
                     conv_norm_type=cfg.conformer_norm_type,
                     name=f"layer{i}",
                 )(x, padding_mask, attn_mask, rel_pos, train)
@@ -252,6 +255,7 @@ class SpeechTransformerEncoder(nn.Module):
                     cfg.encoder_heads,
                     dropout=cfg.dropout,
                     use_relative_pos=cfg.encoder_pos_type == "relative",
+                    use_rotary=cfg.encoder_pos_type == "rotary",
                     name=f"layer{i}",
                 )(x, padding_mask, attn_mask, rel_pos, train)
             if cfg.encoder_layerdrop > 0.0 and train:

@@ -30,6 +30,7 @@ class MultiheadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_relative_pos: bool = False
+    use_rotary: bool = False
 
     def setup(self):
         assert self.embed_dim % self.num_heads == 0
@@ -71,12 +72,23 @@ class MultiheadAttention(nn.Module):
         need_weights: bool = False,
     ):
         """Returns (out [B, Tq, D], attn_weights or None, new_cache or None)."""
+        if self.use_rotary:
+            from espresso_tpu.modules.positional import (
+                apply_rotary,
+                rotary_inv_freq,
+            )
+
+            inv_freq = rotary_inv_freq(self.head_dim)
         q = self._split(self.q_proj(query))
         new_cache = None
         if cache is not None and "k" in cache and key is query:
             # incremental self-attention: append this step's k/v
             k_new = self._split(self.k_proj(key))
             v_new = self._split(self.v_proj(value))
+            if self.use_rotary:
+                pos = jnp.asarray(cache_index).reshape(1)
+                q = apply_rotary(q, pos, inv_freq)
+                k_new = apply_rotary(k_new, pos, inv_freq)
             k_all = jax.lax.dynamic_update_slice(
                 cache["k"], k_new.astype(cache["k"].dtype), (0, cache_index, 0, 0)
             )
@@ -98,6 +110,9 @@ class MultiheadAttention(nn.Module):
         else:
             k = self._split(self.k_proj(key))
             v = self._split(self.v_proj(value))
+            if self.use_rotary:
+                q = apply_rotary(q, jnp.arange(q.shape[1]), inv_freq)
+                k = apply_rotary(k, jnp.arange(k.shape[1]), inv_freq)
 
         scale = self.head_dim ** -0.5
         if self.use_relative_pos and rel_pos is not None:

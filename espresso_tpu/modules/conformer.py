@@ -81,6 +81,7 @@ class ConformerEncoderLayer(nn.Module):
     depthwise_kernel_size: int = 31
     dropout: float = 0.0
     use_relative_pos: bool = True
+    use_rotary: bool = False
     conv_norm_type: str = "batch"
 
     @nn.compact
@@ -103,6 +104,7 @@ class ConformerEncoderLayer(nn.Module):
             self.num_heads,
             dropout=self.dropout,
             use_relative_pos=self.use_relative_pos,
+            use_rotary=self.use_rotary,
             name="self_attn",
         )(
             h,
@@ -143,6 +145,7 @@ class TransformerEncoderLayer(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_relative_pos: bool = False
+    use_rotary: bool = False
 
     @nn.compact
     def __call__(
@@ -160,6 +163,7 @@ class TransformerEncoderLayer(nn.Module):
             self.num_heads,
             dropout=self.dropout,
             use_relative_pos=self.use_relative_pos,
+            use_rotary=self.use_rotary,
             name="self_attn",
         )(
             h,

@@ -48,6 +48,31 @@ def relative_sinusoidal_positions(
     return jnp.asarray(table, dtype=dtype)
 
 
+def rotary_inv_freq(head_dim: int, base: float = 10000.0) -> np.ndarray:
+    """Per-pair inverse frequencies for rotary embeddings
+    (fairseq/modules/rotary_positional_embedding.py conventions)."""
+    half = head_dim // 2
+    return (1.0 / (base ** (np.arange(0, half, dtype=np.float64) / half))).astype(
+        np.float32
+    )
+
+
+def apply_rotary(
+    x: jnp.ndarray,  # [B, L, H, Dh]
+    positions: jnp.ndarray,  # [L] absolute positions (may be traced)
+    inv_freq: np.ndarray,  # [Dh//2] from rotary_inv_freq
+) -> jnp.ndarray:
+    """Rotate query/key head vectors by their absolute position (GPT-NeoX
+    rotate-half layout, matching fairseq's rotary attention: split the head
+    dim in two halves and apply the 2D rotation pairwise across halves).
+    Attention scores then depend only on relative offsets."""
+    ang = positions.astype(jnp.float32)[:, None] * jnp.asarray(inv_freq)[None, :]
+    sin = jnp.sin(ang)[None, :, None, :].astype(x.dtype)
+    cos = jnp.cos(ang)[None, :, None, :].astype(x.dtype)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
 class RelativePositionalEmbedding(nn.Module):
     """Learned or sinusoidal relative position table for self-attention.
 
