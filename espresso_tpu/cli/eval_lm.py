@@ -40,6 +40,9 @@ def main(argv=None):
         stream=sys.stdout,
     )
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
+    from espresso_tpu.config import apply_saved_model_cfg
+
+    apply_saved_model_cfg(cfg, argv if argv is not None else sys.argv[1:])
     cfg.criterion.name = "cross_entropy_v2"
     task = setup_task(cfg)
     ds = task.load_dataset(cfg.dataset.gen_subset)

@@ -80,12 +80,19 @@ def _load_lm_checkpoint(ckpt_dir: str):
     model_cfg.json (written by the train CLI) and checkpoint_last/state."""
     import orbax.checkpoint as ocp
 
-    from espresso_tpu.models.lstm_lm import LSTMLanguageModel, LSTMLMConfig
+    from espresso_tpu.registry import ARCHITECTURES, MODELS
 
     with open(os.path.join(ckpt_dir, "model_cfg.json")) as f:
         blob = json.load(f)
-    lm_cfg = LSTMLMConfig(**blob["config"])
-    lm = LSTMLanguageModel(lm_cfg)
+    name = blob.get("name") or "lstm_lm_espresso"
+    base = ARCHITECTURES[name][0] if name in ARCHITECTURES else name
+    cfg_cls = MODELS.config_class(base)
+    cfg_kwargs = {
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in blob["config"].items()
+    }
+    lm_cfg = cfg_cls(**cfg_kwargs)
+    lm = MODELS.build(base, lm_cfg)
     state_path = os.path.join(
         os.path.abspath(ckpt_dir), "checkpoint_last", "state"
     )

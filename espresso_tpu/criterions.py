@@ -243,6 +243,37 @@ class TransducerCriterion:
         return loss, nsentences, logging, updates
 
 
+@CRITERIONS.register("adaptive_loss")
+class AdaptiveLoss(CECriterionBase):
+    """CE through an adaptive-softmax output layer (fairseq/criterions/
+    adaptive_loss.py). Scores only the target's cluster via
+    ``model.target_lprobs`` — the full [B, U, V] table is never built."""
+
+    def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+        assert "src_frames" not in batch, "adaptive_loss is an LM criterion"
+        mutable = (
+            ["batch_stats"] if (train and "batch_stats" in variables) else False
+        )
+        out = model.apply(
+            variables,
+            batch["prev_output_tokens"],
+            batch["target"],
+            train=train,
+            rngs=rngs,
+            mutable=mutable,
+            method="target_lprobs",
+        )
+        if mutable:
+            lp, updates = out
+        else:
+            lp, updates = out, {}
+        mask = self._mask(batch)
+        loss = -jnp.where(mask, lp, 0.0).sum()
+        ntokens = mask.sum()
+        logging = {"loss": loss, "nll_loss": loss, "ntokens": ntokens}
+        return loss, jnp.maximum(ntokens, 1), logging, updates
+
+
 def build_criterion(cfg: CriterionSection, task):
     return CRITERIONS.build(cfg.name, cfg, task)
 

@@ -101,13 +101,43 @@ class LMAdapter:
         )
 
 
+class TransformerLMAdapter:
+    """Transformer LM for shallow fusion: carry = (per-layer k/v caches
+    [BK, S, H, Dh], position index)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def init_state(self, variables, enc, batch_k: int, max_len: int):
+        return self.model.apply(
+            variables, batch_k, max_len, method="init_carry"
+        )
+
+    def step(self, variables, tokens, state, enc=None, step_idx=None):
+        logits, state = self.model.apply(
+            variables, tokens, state, method="decode_step"
+        )
+        return logits, state, None
+
+    def reorder(self, state, idx):
+        caches, pos = state
+        return (
+            jax.tree_util.tree_map(lambda x: jnp.take(x, idx, axis=0), caches),
+            pos,
+        )
+
+
 def make_adapter(model):
+    from espresso_tpu.models.transformer_lm import TransformerLanguageModel
+
     if isinstance(model, SpeechTransformerModel):
         return TransformerDecoderAdapter(model)
     if isinstance(model, SpeechLSTMModel):
         return LSTMDecoderAdapter(model)
     if isinstance(model, LSTMLanguageModel):
         return LMAdapter(model)
+    if isinstance(model, TransformerLanguageModel):
+        return TransformerLMAdapter(model)
     if all(hasattr(model, m) for m in ("init_state", "step", "reorder")):
         return model  # object already implements the adapter protocol
     raise TypeError(f"no incremental adapter for {type(model).__name__}")
