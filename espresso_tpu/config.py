@@ -91,7 +91,7 @@ class DatasetConfig:
     skip_invalid_size_inputs_valid_test: bool = False
     # feature extraction
     feat_dim: int = 80
-    feature_type: str = "precomputed"  # precomputed | fbank | mfcc
+    feature_type: str = "precomputed"  # precomputed | fbank | mfcc | device_fbank | waveform
     sample_rate: int = 16000
     global_cmvn_stats_path: Optional[str] = None
     specaugment_config: Optional[str] = None
@@ -254,6 +254,9 @@ class CriterionSection:
     # log a sampled REF/PRD pair every N updates (reference
     # label_smoothed_cross_entropy_v2.py:31-35; 0 disables)
     print_training_sample_interval: int = 0
+    # wav2vec2 pretraining (fairseq wav2vec_criterion loss_weights)
+    diversity_loss_weight: float = 0.1
+    features_penalty_weight: float = 10.0
 
 
 @dataclass

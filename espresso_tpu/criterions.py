@@ -274,6 +274,114 @@ class AdaptiveLoss(CECriterionBase):
         return loss, jnp.maximum(ntokens, 1), logging, updates
 
 
+@CRITERIONS.register("wav2vec2_criterion")
+class Wav2Vec2Criterion:
+    """InfoNCE + codebook diversity + feature penalty
+    (fairseq/criterions/wav2vec_criterion.py). The model output's class 0 is
+    the true quantized target; loss counts only masked frames."""
+
+    logging_keys = ("loss", "contrastive_loss", "ntokens", "correct")
+
+    def __init__(self, cfg: CriterionSection, task):
+        self.cfg = cfg
+        self.diversity_weight = cfg.diversity_loss_weight
+        self.features_pen_weight = cfg.features_penalty_weight
+
+    def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+        out = model.apply(
+            variables,
+            batch["src_frames"],
+            batch["src_lengths"],
+            train=train,
+            rngs=rngs,
+        )
+        logits = out["logits"].astype(jnp.float32)  # [B, T, 1+K]
+        lse = jax.nn.logsumexp(
+            jnp.where(jnp.isfinite(logits), logits, -1e9), axis=-1
+        )
+        nll = lse - logits[..., 0]
+        count_mask = out["mask"] & (batch["weight"][:, None] > 0)
+        contrastive = jnp.where(count_mask, nll, 0.0).sum()
+        ntokens = count_mask.sum()
+        n_vars = out["num_vars"]
+        diversity = (
+            (n_vars - out["prob_perplexity"]) / n_vars * ntokens
+        )
+        loss = (
+            contrastive
+            + self.diversity_weight * diversity
+            + self.features_pen_weight * out["features_pen"] * ntokens
+        )
+        correct = jnp.where(
+            count_mask, (jnp.argmax(logits, -1) == 0).astype(jnp.float32), 0.0
+        ).sum()
+        logging = {
+            "loss": loss,
+            "contrastive_loss": contrastive,
+            "ntokens": ntokens,
+            "correct": correct,
+        }
+        return loss, jnp.maximum(ntokens, 1), logging, {}
+
+
+@CRITERIONS.register("hubert_criterion")
+class HubertCriterion:
+    """Masked (and optionally unmasked) cluster-unit CE
+    (fairseq/criterions/hubert_criterion.py). batch["target"] holds
+    per-frame integer units at the label rate; they are resampled to the
+    extractor frame rate with a nearest-index gather."""
+
+    logging_keys = ("loss", "ntokens", "correct")
+
+    def __init__(self, cfg: CriterionSection, task):
+        self.cfg = cfg
+
+    def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+        out = model.apply(
+            variables,
+            batch["src_frames"],
+            batch["src_lengths"],
+            train=train,
+            rngs=rngs,
+        )
+        logits = out["logits"].astype(jnp.float32)  # [B, T, V]
+        B, T, V = logits.shape
+        target = batch["target"]  # [B, W] ints, -1 or pad for invalid
+        W = target.shape[1]
+        # nearest-index resample label stream to the latent frame rate
+        tgt_lengths = jnp.maximum((target >= 0).sum(axis=1), 1)
+        pos = (
+            jnp.arange(T)[None, :]
+            * tgt_lengths[:, None]
+            // jnp.maximum(out["lengths"], 1)[:, None]
+        )
+        pos = jnp.minimum(pos, W - 1)
+        frame_target = jnp.take_along_axis(target, pos, axis=1)  # [B, T]
+        valid = (
+            out["padding_mask"]
+            & (frame_target >= 0)
+            & (batch["weight"][:, None] > 0)
+        )
+        model_cfg = model.cfg
+        w_masked = model_cfg.pred_masked_weight
+        w_nomask = model_cfg.pred_nomask_weight
+        weight = jnp.where(out["mask"], w_masked, w_nomask)
+        weight = jnp.where(valid, weight, 0.0)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        safe_t = jnp.maximum(frame_target, 0)
+        nll = -jnp.take_along_axis(lp, safe_t[..., None], -1)[..., 0]
+        loss = (nll * weight).sum()
+        count_mask = valid & out["mask"]
+        ntokens = count_mask.sum()
+        correct = jnp.where(
+            count_mask,
+            (jnp.argmax(logits, -1) == safe_t).astype(jnp.float32),
+            0.0,
+        ).sum()
+        logging = {"loss": loss, "ntokens": ntokens, "correct": correct}
+        return loss, jnp.maximum(ntokens, 1), logging, {}
+
+
 def build_criterion(cfg: CriterionSection, task):
     return CRITERIONS.build(cfg.name, cfg, task)
 

@@ -64,7 +64,7 @@ class SpeechRecognitionEspressoTask:
         if split in self.datasets:
             return self.datasets[split]
         entries = load_manifest(self.cfg.dataset.data, split)
-        device_feats = self.cfg.dataset.feature_type == "device_fbank"
+        device_feats = self.cfg.dataset.feature_type in ("device_fbank", "waveform")
         dcfg = self.cfg.dataset
         is_train = split == dcfg.train_subset
         noise = None
@@ -211,6 +211,8 @@ class SpeechRecognitionEspressoTask:
     # :479-518) --------------------------------------------------------------
     def build_valid_decoder(self, model):
         crit = self.cfg.criterion.name
+        if crit in ("wav2vec2_criterion", "hubert_criterion"):
+            return None  # self-supervised pretraining: no WER decode
         if crit == "transducer_loss":
             from espresso_tpu.decode.transducer_greedy import (
                 TransducerGreedyDecoder,
@@ -386,6 +388,22 @@ class _PdfDictionary:
 
     def __len__(self) -> int:
         return self.num_targets
+
+
+@TASKS.register("audio_pretraining")
+class AudioPretrainingTask(SpeechRecognitionEspressoTask):
+    """Self-supervised pretraining on raw audio (fairseq
+    tasks/audio_pretraining.py + hubert_pretraining.py): wave manifests
+    with dataset.feature_type=waveform feed samples straight to
+    wav2vec2/hubert; no decoding during validation."""
+
+    def build_valid_decoder(self, model):
+        return None
+
+    def build_generator(self, model, gen_cfg=None, lm=None, lm_weight=0.0):
+        raise NotImplementedError(
+            "pretrained trunks decode after fine-tuning (wav2vec2_ctc)"
+        )
 
 
 @TASKS.register("language_modeling_for_asr")

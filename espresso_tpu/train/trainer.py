@@ -103,6 +103,12 @@ def make_device_feature_fn(cfg: EspressoConfig):
     def prepare(mb):
         if "src_waveforms" not in mb:
             return mb
+        if cfg.dataset.feature_type == "waveform":
+            # raw-waveform models (wav2vec2/HuBERT): pass samples through
+            out = dict(mb)
+            out["src_frames"] = out.pop("src_waveforms")
+            out["src_lengths"] = out.pop("num_samples")
+            return out
         from espresso_tpu.features.pallas_fbank import fbank_fused
 
         frames, lengths = fbank_fused(
