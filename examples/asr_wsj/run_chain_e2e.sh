@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# WSJ end-to-end LF-MMI (chain) recipe — mirrors the reference
+# examples/asr_wsj/run_chain_e2e.sh: TDNN trained with lattice-free MMI on
+# numerator FSTs, posteriors dumped for Kaldi lattice decoding.
+# The denominator graph (den.fst) and per-utterance numerator FSTs come from
+# a Kaldi chain e2e dir (train_e2e.py style); lattice decoding
+# (latgen-faster-mapped) stays an external Kaldi step, as in the reference.
+set -euo pipefail
+
+stage=0
+stop_stage=100
+data=${data:-data}
+exp=${exp:-exp/chain_e2e}
+chain_dir=${chain_dir:-${data}/chain_e2e}   # den.fst + num_fsts archives
+train_set=train_si284_spe2e
+valid_set=test_dev93
+test_set=test_eval92
+
+. ./parse_options.sh 2>/dev/null || true
+
+if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
+  echo "=== stage 1: convert denominator FST (binary OpenFst -> npz) ==="
+  python - <<PY
+from espresso_tpu.ops.chain import DenominatorGraph
+g = DenominatorGraph.load("${chain_dir}/den.fst")
+g.save("${chain_dir}/den.npz")
+PY
+fi
+
+if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
+  echo "=== stage 2: LF-MMI training (pychain-equivalent on-device) ==="
+  python -m espresso_tpu.cli.train \
+    task.name=speech_recognition_hybrid dataset.data=${data} \
+    dataset.train_subset=${train_set} dataset.valid_subset=${valid_set} \
+    task.num_targets=$(cat ${chain_dir}/num_pdfs) \
+    criterion.name=lf_mmi_loss \
+    criterion.denominator_graph_path=${chain_dir}/den.npz \
+    criterion.leaky_hmm_coefficient=1e-5 \
+    model.name=speech_tdnn \
+    optimization.lr=0.001 optimization.max_epoch=15 \
+    checkpoint.save_dir=${exp}
+fi
+
+if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
+  echo "=== stage 3: dump posteriors for Kaldi lattice decoding ==="
+  python -m espresso_tpu.cli.dump_posteriors \
+    task.name=speech_recognition_hybrid dataset.data=${data} \
+    dataset.gen_subset=${test_set} \
+    task.num_targets=$(cat ${chain_dir}/num_pdfs) \
+    checkpoint.save_dir=${exp} \
+    > ${exp}/posteriors_${test_set}.ark
+  echo "now run (Kaldi): latgen-faster-mapped ... ark:${exp}/posteriors_${test_set}.ark ..."
+fi
