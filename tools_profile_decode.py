@@ -76,7 +76,7 @@ def main():
 
     dic = AsrDictionary(enable_bos=True)
     batch = {"src_frames": frames, "src_lengths": lengths}
-    for K, n_exp in ((10, 2), (10, 1), (5, 2), (10, 0)):
+    for K, n_exp in ((10, 2),):
         dec = TransducerBeamSearchDecoder(
             model, dic, beam_size=K, expansion_beta=2, expansion_gamma=2.3,
             max_num_expansions_per_step=n_exp, max_out_factor=0.35,
