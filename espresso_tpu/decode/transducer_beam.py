@@ -163,16 +163,24 @@ class TransducerBeamSearchDecoder:
                 # backpointer emissions for the host-side backtrace
                 bp_fp, bp_msrc, bp_esrc, bp_etok = [], [], [], []
 
-                # pool of next-frame (blank-terminated) hyps
+                # pool of next-frame (blank-terminated) hyps.
+                # State is NOT gathered at each merge (that moved ~40 MB of
+                # LSTM carry per frame — the measured decode bottleneck was
+                # exactly these state-sized fusions inside the scan, not
+                # FLOPs). Instead each pool slot carries (version, slot)
+                # indices into the per-round expansion states; the real
+                # state materializes with ONE stacked gather at frame end.
                 pool_scores = jnp.full((B, K), NEG_INF)
                 pool_hash = hashes
-                pool_feat = pred_feat
-                pool_carry = pred_carry
-                pool_lm = lm_state
+                pool_ver = jnp.zeros((B, K), jnp.int32)
+                pool_slot = jnp.arange(K)[None, :].repeat(B, 0)
 
                 exp_scores = scores
                 exp_hash = hashes
                 exp_feat, exp_carry, exp_lm = pred_feat, pred_carry, lm_state
+                # version v state = expansion state after v label rounds;
+                # rows are [BK] b-major, exp slots map to rows identically
+                versions = [(exp_feat, exp_carry, exp_lm)]
 
                 # n_exp LABEL expansions per frame (reference semantics),
                 # plus a blank-merge after each round (n_exp + 1 merges)
@@ -227,32 +235,24 @@ class TransducerBeamSearchDecoder:
                     src_slot = jnp.where(from_pool, take, take - K)
                     bp_fp.append(from_pool)
                     bp_msrc.append(src_slot)
-                    # gather hash/state from pool or exp
+                    # gather hash + indirection indices only (cheap [B,K]
+                    # ints) — no state movement
                     bidx = jnp.arange(B)[:, None]
                     new_pool_hash = jnp.where(
                         from_pool,
                         jnp.take_along_axis(pool_hash, src_slot, axis=1),
                         jnp.take_along_axis(exp_hash, src_slot, axis=1),
                     )
-                    flat_src = (bidx * K + src_slot).reshape(-1)
-
-                    def sel_state(pool_x, exp_x):
-                        def pick(p, e):
-                            axis = 1 if p.ndim == 3 and p.shape[1] == BK else 0
-                            pg = jnp.take(p, flat_src, axis=axis)
-                            eg = jnp.take(e, flat_src, axis=axis)
-                            mask_shape = [1] * pg.ndim
-                            mask_shape[axis] = BK
-                            m = from_pool.reshape(-1)
-                            m = m.reshape(mask_shape)
-                            return jnp.where(m, pg, eg)
-
-                        return jax.tree_util.tree_map(pick, pool_x, exp_x)
-
-                    pool_feat = sel_state(pool_feat, exp_feat)
-                    pool_carry = sel_state(pool_carry, exp_carry)
-                    if lm_state is not None:
-                        pool_lm = sel_state(pool_lm, exp_lm)
+                    pool_ver = jnp.where(
+                        from_pool,
+                        jnp.take_along_axis(pool_ver, src_slot, axis=1),
+                        j,
+                    )
+                    pool_slot = jnp.where(
+                        from_pool,
+                        jnp.take_along_axis(pool_slot, src_slot, axis=1),
+                        src_slot,
+                    )
                     pool_scores = top_pool
                     pool_hash = new_pool_hash
 
@@ -342,6 +342,28 @@ class TransducerBeamSearchDecoder:
                         exp_lm = jax.tree_util.tree_map(
                             live_mask, new_exp_lm, exp_lm
                         )
+                    versions.append((exp_feat, exp_carry, exp_lm))
+
+                # materialize the winning pool states: one gather from the
+                # stacked per-round versions (flat row = ver*BK + b*K + slot)
+                flat_pool = (pool_ver * BK + bidx * K + pool_slot).reshape(-1)
+
+                def gather_versions(leaves):
+                    def g(*leaf_versions):
+                        x0 = leaf_versions[0]
+                        axis = 1 if x0.ndim == 3 and x0.shape[1] == BK else 0
+                        stacked = jnp.concatenate(leaf_versions, axis=axis)
+                        return jnp.take(stacked, flat_pool, axis=axis)
+
+                    return jax.tree_util.tree_map(g, *leaves)
+
+                pool_feat = gather_versions([v[0] for v in versions])
+                pool_carry = gather_versions([v[1] for v in versions])
+                pool_lm = (
+                    gather_versions([v[2] for v in versions])
+                    if lm_state is not None
+                    else None
+                )
 
                 # inactive frames: keep previous beam unchanged
                 keep_old = ~active_t

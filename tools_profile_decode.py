@@ -76,7 +76,7 @@ def main():
 
     dic = AsrDictionary(enable_bos=True)
     batch = {"src_frames": frames, "src_lengths": lengths}
-    for K, n_exp in ((10, 2),):
+    for K, n_exp in ((10, 1), (10, 0), (5, 2)):
         dec = TransducerBeamSearchDecoder(
             model, dic, beam_size=K, expansion_beta=2, expansion_gamma=2.3,
             max_num_expansions_per_step=n_exp, max_out_factor=0.35,
@@ -113,6 +113,7 @@ def main():
         s, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(T))
         return s
 
+    return  # variants only this run
     timed("3x joint+softmax scan over T", jax.jit(joint_scan), variables, enc_proj, feat0)
 
     def pred_scan(v, carry):
