@@ -77,6 +77,7 @@ class TransducerBeamSearchDecoder:
         lm_weight: float = 0.0,
         lm_variables=None,
         model_predicts_eos: bool = False,
+        fused_kernel: str = "auto",  # auto | on | off | interpret
     ):
         self.model = model
         self.dict = dictionary
@@ -90,6 +91,7 @@ class TransducerBeamSearchDecoder:
         self.lm = lm
         self.lm_weight = lm_weight
         self.lm_variables = lm_variables
+        self.fused_kernel = fused_kernel
         if lm is not None:
             from espresso_tpu.decode.api import make_adapter
 
@@ -110,9 +112,41 @@ class TransducerBeamSearchDecoder:
         gamma = self.expansion_gamma
         lm_adapter, lm_weight = self.lm_adapter, self.lm_weight
 
+        fused_mode = self.fused_kernel
+
         def run(variables, lm_variables, src_frames, src_lengths):
             B = src_frames.shape[0]
             BK = B * K
+            # fused joint+softmax+topk Pallas path (no-LM TPU decode):
+            # extract raw joint weights once; fall back to the jnp path when
+            # the model/shape doesn't fit (e.g. test stand-ins, CPU)
+            use_fused = False
+            fused_interpret = fused_mode == "interpret"
+            if fused_mode != "off" and lm_adapter is None:
+                try:
+                    jp = variables["params"]["joint"]
+                    joint_w = dict(
+                        w_dec=jp["proj_dec"]["kernel"],
+                        b_dec=jp["proj_dec"]["bias"],
+                        ln_scale=jp["ln_dec"]["scale"],
+                        ln_bias=jp["ln_dec"]["bias"],
+                        w_out=jp["fc_out"]["kernel"],
+                        b_out=jp["fc_out"]["bias"],
+                    )
+                    from espresso_tpu.ops.decode_kernels import (
+                        fused_joint_topk,
+                        supports_fused_joint_topk,
+                    )
+
+                    Vf = joint_w["w_out"].shape[1]
+                    Jf = joint_w["w_dec"].shape[1]
+                    Hf = joint_w["w_dec"].shape[0]
+                    use_fused = fused_interpret or (
+                        fused_mode in ("auto", "on")
+                        and supports_fused_joint_topk(B, K, Vf, Jf, Hf)
+                    )
+                except (KeyError, TypeError):
+                    use_fused = False
             enc = model.apply(variables, src_frames, src_lengths, method="encode")
             # hypothesis state (flattened [B*K] where it matters)
             pdtype = jax.tree_util.tree_leaves(variables)[0].dtype
@@ -185,25 +219,42 @@ class TransducerBeamSearchDecoder:
                 # n_exp LABEL expansions per frame (reference semantics),
                 # plus a blank-merge after each round (n_exp + 1 merges)
                 for j in range(n_exp + 1):
-                    logits = model.apply(
-                        variables, enc_t, exp_feat,
-                        method="joint_step_precomputed",
-                    )  # [BK, V]
-                    lprobs = jax.nn.log_softmax(
-                        logits.astype(jnp.float32), axis=-1
-                    ).reshape(B, K, -1)
-                    if predicts_eos:
-                        # fold eos mass into blank (reference
-                        # transducer_beam_search_decoder.py:334-339)
-                        lprobs = lprobs.at[:, :, blank].set(
-                            jnp.logaddexp(
-                                lprobs[:, :, blank], lprobs[:, :, eos]
-                            )
-                        ).at[:, :, eos].set(NEG_INF)
-                    V = lprobs.shape[-1]
+                    if use_fused:
+                        blank_lp_f, fused_vals, fused_idx = fused_joint_topk(
+                            enc_t,
+                            exp_feat,
+                            exp_scores,
+                            K=K,
+                            n_cand=n_cand,
+                            blank=blank,
+                            eos=eos,
+                            fold_eos_into_blank=predicts_eos,
+                            interpret=fused_interpret,
+                            **joint_w,
+                        )
+                        V = Vf
+                        blank_scores = exp_scores + blank_lp_f
+                        lprobs = None
+                    else:
+                        logits = model.apply(
+                            variables, enc_t, exp_feat,
+                            method="joint_step_precomputed",
+                        )  # [BK, V]
+                        lprobs = jax.nn.log_softmax(
+                            logits.astype(jnp.float32), axis=-1
+                        ).reshape(B, K, -1)
+                        if predicts_eos:
+                            # fold eos mass into blank (reference
+                            # transducer_beam_search_decoder.py:334-339)
+                            lprobs = lprobs.at[:, :, blank].set(
+                                jnp.logaddexp(
+                                    lprobs[:, :, blank], lprobs[:, :, eos]
+                                )
+                            ).at[:, :, eos].set(NEG_INF)
+                        V = lprobs.shape[-1]
+                        blank_scores = exp_scores + lprobs[:, :, blank]
 
                     # ---- blank: candidates for the next frame -------------
-                    blank_scores = exp_scores + lprobs[:, :, blank]
                     merged_scores = jnp.concatenate(
                         [pool_scores, blank_scores], axis=1
                     )  # [B, 2K]
@@ -260,24 +311,29 @@ class TransducerBeamSearchDecoder:
                         break
 
                     # ---- label expansion -----------------------------------
-                    label_lp = lprobs.at[:, :, blank].set(NEG_INF)
-                    if lm_adapter is not None and lm_weight != 0.0:
-                        _, cached_lp = exp_lm
-                        lm_lp = cached_lp.reshape(B, K, -1)
-                        # shift LM vocab right by 1: model idx v>=1 <- LM v-1
-                        V_model = label_lp.shape[-1]
-                        shifted = jnp.full(
-                            (B, K, V_model), NEG_INF, jnp.float32
+                    if use_fused:
+                        top_cand, cand_idx = fused_vals, fused_idx
+                    else:
+                        label_lp = lprobs.at[:, :, blank].set(NEG_INF)
+                        if lm_adapter is not None and lm_weight != 0.0:
+                            _, cached_lp = exp_lm
+                            lm_lp = cached_lp.reshape(B, K, -1)
+                            # shift LM vocab right by 1: model v>=1 <- LM v-1
+                            V_model = label_lp.shape[-1]
+                            shifted = jnp.full(
+                                (B, K, V_model), NEG_INF, jnp.float32
+                            )
+                            width = min(V_model - 1, lm_lp.shape[-1])
+                            shifted = shifted.at[:, :, 1 : 1 + width].set(
+                                lm_lp[..., :width]
+                            )
+                            label_lp = label_lp + lm_weight * jnp.maximum(
+                                shifted, NEG_INF
+                            )
+                        cand = (exp_scores[..., None] + label_lp).reshape(
+                            B, K * V
                         )
-                        width = min(V_model - 1, lm_lp.shape[-1])
-                        shifted = shifted.at[:, :, 1 : 1 + width].set(
-                            lm_lp[..., :width]
-                        )
-                        label_lp = label_lp + lm_weight * jnp.maximum(
-                            shifted, NEG_INF
-                        )
-                    cand = (exp_scores[..., None] + label_lp).reshape(B, K * V)
-                    top_cand, cand_idx = _exact_topk_rows(cand, n_cand)
+                        top_cand, cand_idx = _exact_topk_rows(cand, n_cand)
                     # prune-by-value: drop candidates > gamma below the best.
                     # top_cand is sorted descending, so the gamma threshold
                     # keeps a PREFIX — the best K survivors are simply the

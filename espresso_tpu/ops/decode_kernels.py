@@ -1,0 +1,182 @@
+"""Pallas decode kernels: fused transducer joint + log-softmax + top-k.
+
+The AES beam-search frame step spends its time on many small HBM-bound XLA
+ops: the joint's [BK, V] logits/log-probs round-trip HBM three times per
+frame and the candidate top-k lowers to full row sorts inside the while
+loop (profiled: the two sorts alone are ~10% of decode, the joint/softmax
+materializations more). This kernel computes, entirely in VMEM per grid
+block of utterances:
+
+    d       = LayerNorm(feat @ W_dec + b_dec)
+    logits  = relu(enc_proj + d) @ W_out + b_out        (reference joint,
+              espresso speech_transformer_transducer_base.py:279-299)
+    lp      = log_softmax(logits)
+    blank_lp[b*K+k]          -> merge scores for the blank pool
+    top-(K+beta) of (scores + lp) over the K*V label candidates per
+    utterance (blank/eos masked), via an iterative max-and-mask loop —
+    exact values, no sort, never materializing [B, K*V] in HBM.
+
+Mosaic constraints shape the implementation: no vector reshapes (sublane/
+lane shape casts are unsupported), so scores arrive pre-flattened [BK, 1],
+the blank column is a static slice, and the per-utterance top-k statically
+unrolls over the block's utterances on [K, V] sub-tiles.
+
+Used by TransducerBeamSearchDecoder on the TPU no-LM path; the pure-jnp
+path remains for CPU/LM/odd shapes and is the numerical reference in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e9
+
+
+def _pick_bb(B: int, K: int) -> Optional[int]:
+    for bb in (16, 8, 4, 2, 1):
+        if B % bb == 0:
+            return bb
+    return None
+
+
+def supports_fused_joint_topk(B: int, K: int, V: int, J: int, H: int) -> bool:
+    """Shape gate for the kernel (lane alignment + batch tiling)."""
+    return (
+        _pick_bb(B, K) is not None
+        and V % 128 == 0
+        and J % 128 == 0
+        and H % 128 == 0
+        and jax.default_backend() in ("tpu", "axon")
+    )
+
+
+def fused_joint_topk(
+    enc_t: jnp.ndarray,  # [B*K, J] bf16/f32 (encoder side, LN applied)
+    feat: jnp.ndarray,  # [B*K, H] prediction-net features
+    scores: jnp.ndarray,  # [B, K] f32 current beam scores
+    w_dec: jnp.ndarray,  # [H, J]
+    b_dec: jnp.ndarray,  # [J]
+    ln_scale: jnp.ndarray,  # [J]
+    ln_bias: jnp.ndarray,  # [J]
+    w_out: jnp.ndarray,  # [J, V]
+    b_out: jnp.ndarray,  # [V]
+    K: int,
+    n_cand: int,
+    blank: int = 0,
+    eos: Optional[int] = None,
+    fold_eos_into_blank: bool = False,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (blank_lp [B, K] f32, top_vals [B, n_cand] f32 of
+    scores+label_lp sorted descending, top_idx [B, n_cand] i32 flat indices
+    into [K*V])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BK, J = enc_t.shape
+    H = feat.shape[1]
+    V = w_out.shape[1]
+    B = scores.shape[0]
+    assert BK == B * K
+    bb = _pick_bb(B, K)
+    assert bb is not None
+    rows = bb * K
+
+    def kernel(enc_ref, feat_ref, sc_ref, wd_ref, bd_ref, lns_ref, lnb_ref,
+               wo_ref, bo_ref, blank_ref, vals_ref, idx_ref):
+        f = feat_ref[:].astype(jnp.float32)
+        d = jax.lax.dot_general(
+            f, wd_ref[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bd_ref[:].astype(jnp.float32)
+        mu = jnp.mean(d, axis=1, keepdims=True)
+        var = jnp.mean((d - mu) ** 2, axis=1, keepdims=True)
+        d = (d - mu) * jax.lax.rsqrt(var + 1e-6)
+        d = d * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+        h = jnp.maximum(enc_ref[:].astype(jnp.float32) + d, 0.0)
+        logits = jax.lax.dot_general(
+            h, wo_ref[:].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[:].astype(jnp.float32)  # [rows, V]
+        m = jnp.max(logits, axis=1, keepdims=True)
+        lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=1, keepdims=True))
+        lp = logits - lse  # [rows, V] log-probs
+        blank_col = lp[:, blank : blank + 1]  # [rows, 1]
+        if fold_eos_into_blank and eos is not None:
+            blank_col = jnp.logaddexp(blank_col, lp[:, eos : eos + 1])
+        blank_ref[:] = blank_col
+        # label candidates: scores + lp, blank (and eos) masked out
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows, V), 1)
+        masked = jnp.where(cols == blank, NEG_INF, lp)
+        if fold_eos_into_blank and eos is not None:
+            masked = jnp.where(cols == eos, NEG_INF, masked)
+        work = sc_ref[:].astype(jnp.float32) + masked  # [rows, V]
+        # vectorized per-ROW exact top-n_cand (lane reduces, no sort, no
+        # scalar serialization); the exact per-utterance top-n_cand is a
+        # tiny [K*n_cand]-wide top_k outside the kernel — any utterance
+        # top-n candidate is necessarily within its row's top-n
+        for c in range(n_cand):
+            best = jnp.max(work, axis=1, keepdims=True)  # [rows, 1]
+            first = jnp.min(
+                jnp.where(work == best, cols, V), axis=1, keepdims=True
+            )
+            vals_ref[:, c : c + 1] = best
+            idx_ref[:, c : c + 1] = first
+            work = jnp.where(cols == first, NEG_INF, work)
+
+    grid = (B // bb,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, J), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((J, V), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (rows, n_cand), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (rows, n_cand), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BK, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BK, n_cand), jnp.float32),
+            jax.ShapeDtypeStruct((BK, n_cand), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        enc_t,
+        feat,
+        scores.astype(jnp.float32).reshape(BK, 1),
+        w_dec,
+        b_dec.reshape(1, -1),
+        ln_scale.reshape(1, -1),
+        ln_bias.reshape(1, -1),
+        w_out,
+        b_out.reshape(1, -1),
+    )
+    blank_flat, row_vals, row_idx = out
+    # exact per-utterance top-n_cand from the per-row winners (tiny top_k
+    # over K*n_cand instead of a K*V sort inside the decode loop)
+    row_flat = (
+        jnp.arange(BK, dtype=jnp.int32).reshape(B, K, 1) % K * V
+        + row_idx.reshape(B, K, n_cand)
+    ).reshape(B, K * n_cand)
+    vals, pos = jax.lax.top_k(row_vals.reshape(B, K * n_cand), n_cand)
+    idx = jnp.take_along_axis(row_flat, pos, axis=1)
+    return blank_flat.reshape(B, K), vals, idx

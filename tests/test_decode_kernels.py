@@ -1,0 +1,143 @@
+"""Fused joint+softmax+topk Pallas kernel vs the pure-jnp reference
+(interpret mode; the decoder uses the kernel only on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from espresso_tpu.ops.decode_kernels import _pick_bb, fused_joint_topk
+
+B, K, V, J, H = 8, 4, 256, 128, 128
+
+
+def _params(rng):
+    return dict(
+        w_dec=jnp.asarray(rng.standard_normal((H, J)) * 0.2, jnp.float32),
+        b_dec=jnp.asarray(rng.standard_normal(J) * 0.1, jnp.float32),
+        ln_scale=jnp.asarray(1.0 + 0.1 * rng.standard_normal(J), jnp.float32),
+        ln_bias=jnp.asarray(0.1 * rng.standard_normal(J), jnp.float32),
+        w_out=jnp.asarray(rng.standard_normal((J, V)) * 0.2, jnp.float32),
+        b_out=jnp.asarray(rng.standard_normal(V) * 0.1, jnp.float32),
+    )
+
+
+def _reference(enc_t, feat, scores, p, blank=0, eos=None, fold=False):
+    d = feat.astype(jnp.float32) @ p["w_dec"] + p["b_dec"]
+    mu = d.mean(1, keepdims=True)
+    var = ((d - mu) ** 2).mean(1, keepdims=True)
+    d = (d - mu) * jax.lax.rsqrt(var + 1e-6) * p["ln_scale"] + p["ln_bias"]
+    h = jnp.maximum(enc_t.astype(jnp.float32) + d, 0.0)
+    logits = h @ p["w_out"] + p["b_out"]
+    lp = jax.nn.log_softmax(logits, axis=-1)  # [B*K, V]
+    blank_lp = lp[:, blank]
+    if fold and eos is not None:
+        blank_lp = jnp.logaddexp(blank_lp, lp[:, eos])
+    label = lp.at[:, blank].set(-1e9)
+    if fold and eos is not None:
+        label = label.at[:, eos].set(-1e9)
+    cand = (scores.reshape(-1, 1) + label).reshape(B, K * V)
+    return blank_lp.reshape(B, K), cand
+
+
+def test_pick_bb():
+    assert _pick_bb(256, 10) == 16
+    assert _pick_bb(8, 4) == 8
+    assert _pick_bb(6, 5) == 2
+
+
+def test_fused_joint_topk_matches_reference():
+    rng = np.random.default_rng(0)
+    p = _params(rng)
+    enc_t = jnp.asarray(rng.standard_normal((B * K, J)), jnp.float32)
+    feat = jnp.asarray(rng.standard_normal((B * K, H)), jnp.float32)
+    scores = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    n_cand = 6
+    blank_lp, vals, idx = fused_joint_topk(
+        enc_t, feat, scores, K=K, n_cand=n_cand, blank=0, interpret=True, **p
+    )
+    ref_blank, ref_cand = _reference(enc_t, feat, scores, p)
+    np.testing.assert_allclose(
+        np.asarray(blank_lp), np.asarray(ref_blank), atol=1e-4
+    )
+    rv, ri = jax.lax.top_k(ref_cand, n_cand)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+
+
+def test_decoder_fused_path_matches_legacy():
+    """Full AES decode with the fused kernel (interpret mode) must equal the
+    pure-jnp path: same sequences, same scores."""
+    from espresso_tpu.data.dictionary import AsrDictionary
+    from espresso_tpu.decode.transducer_beam import TransducerBeamSearchDecoder
+    from espresso_tpu.models.speech_transformer import SpeechTransformerConfig
+    from espresso_tpu.models.transducer import TransducerConfig, TransducerModel
+
+    Vv = 128
+    cfg = TransducerConfig(
+        feat_dim=8,
+        vocab_size=Vv,
+        encoder=SpeechTransformerConfig(
+            feat_dim=8,
+            vocab_size=Vv,
+            encoder_embed_dim=16,
+            encoder_ffn_dim=32,
+            encoder_layers=1,
+            encoder_heads=2,
+            conv_channels=(2,),
+            conv_kernel_sizes=((3, 3),),
+            conv_strides=((2, 2),),
+            conv_norm_type="layer",
+            dropout=0.0,
+        ),
+        pred_embed_dim=16,
+        pred_hidden_size=128,
+        pred_layers=1,
+        pred_dropout=0.0,
+        joint_dim=128,
+    )
+    model = TransducerModel(cfg)
+    rng = np.random.default_rng(2)
+    frames = jnp.asarray(rng.standard_normal((4, 12, 8)), jnp.float32)
+    lengths = jnp.asarray([12, 12, 9, 6])
+    prev = jnp.asarray(rng.integers(3, Vv, (4, 3)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, lengths, prev)
+    d = AsrDictionary(enable_bos=True)
+    for i in range(Vv - 5):
+        d.add_symbol(f"u{i}")
+    batch = {"src_frames": frames, "src_lengths": lengths}
+
+    outs = {}
+    for mode in ("off", "interpret"):
+        dec = TransducerBeamSearchDecoder(
+            model, d, beam_size=4, expansion_beta=2, expansion_gamma=4.0,
+            max_num_expansions_per_step=2, fused_kernel=mode,
+        )
+        outs[mode] = dec.decode(variables, batch)
+    for b in range(4):
+        assert len(outs["off"][b]) == len(outs["interpret"][b])
+        for h0, h1 in zip(outs["off"][b], outs["interpret"][b]):
+            assert np.array_equal(h0["tokens"], h1["tokens"]), (
+                b, h0["tokens"], h1["tokens"],
+            )
+            assert abs(h0["score"] - h1["score"]) < 1e-3
+
+
+def test_fused_joint_topk_eos_folding():
+    rng = np.random.default_rng(1)
+    p = _params(rng)
+    enc_t = jnp.asarray(rng.standard_normal((B * K, J)), jnp.float32)
+    feat = jnp.asarray(rng.standard_normal((B * K, H)), jnp.float32)
+    scores = jnp.zeros((B, K), jnp.float32)
+    blank_lp, vals, idx = fused_joint_topk(
+        enc_t, feat, scores, K=K, n_cand=4, blank=0, eos=2,
+        fold_eos_into_blank=True, interpret=True, **p
+    )
+    ref_blank, ref_cand = _reference(
+        enc_t, feat, scores, p, blank=0, eos=2, fold=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(blank_lp), np.asarray(ref_blank), atol=1e-4
+    )
+    # eos and blank never appear among the top candidates
+    v_ids = np.asarray(idx) % V
+    assert not np.isin(v_ids, [0, 2]).any()
