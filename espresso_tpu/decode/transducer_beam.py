@@ -504,12 +504,33 @@ class TransducerBeamSearchDecoder:
                     valid_r = [jnp.zeros((B, K), bool)]
                 return s, (jnp.stack(toks_r), jnp.stack(valid_r))
 
-            _, (toks_e, valid_e) = jax.lax.scan(
-                bstep,
-                order.astype(jnp.int32),
-                (fp_a, msrc_a, esrc_a, etok_a, jnp.arange(T_enc)),
-                reverse=True,
-            )
+            if use_fused and n_exp >= 1:
+                # single-kernel backtrace (tiny per-frame tiles; the scan
+                # version paid ~30 ops of launch overhead per frame)
+                from espresso_tpu.ops.decode_kernels import aes_backtrace
+
+                act_arr = (
+                    jnp.arange(T_enc)[:, None] < enc.src_lengths[None, :]
+                ).astype(jnp.int32)[:, :, None]
+                toks_i, valid_i = aes_backtrace(
+                    act_arr,
+                    fp_a.astype(jnp.int32),
+                    msrc_a,
+                    esrc_a,
+                    etok_a,
+                    order.astype(jnp.int32),
+                    n_exp,
+                    interpret=fused_interpret,
+                )
+                toks_e = toks_i.astype(jnp.int16)
+                valid_e = valid_i.astype(bool)
+            else:
+                _, (toks_e, valid_e) = jax.lax.scan(
+                    bstep,
+                    order.astype(jnp.int32),
+                    (fp_a, msrc_a, esrc_a, etok_a, jnp.arange(T_enc)),
+                    reverse=True,
+                )
             # toks_e/valid_e: [T, n_exp, B, K] in frame order; the emission
             # (reversed-sequence) order is frames DESCENDING, rounds as
             # stored — flip the frame axis and flatten, then one cumsum

@@ -180,3 +180,91 @@ def fused_joint_topk(
     vals, pos = jax.lax.top_k(row_vals.reshape(B, K * n_cand), n_cand)
     idx = jnp.take_along_axis(row_flat, pos, axis=1)
     return blank_flat.reshape(B, K), vals, idx
+
+
+def aes_backtrace(
+    active: jnp.ndarray,  # [T, B, 1] int32 (1 = frame within src length)
+    fp: jnp.ndarray,  # [T, R, B, K] int32 from-pool flags per merge round
+    msrc: jnp.ndarray,  # [T, R, B, K] int32 merge source slots
+    esrc: jnp.ndarray,  # [T, E, B, K] int32 expansion source beams
+    etok: jnp.ndarray,  # [T, E, B, K] int32 expansion tokens
+    order: jnp.ndarray,  # [B, K] int32 initial (sorted) slots
+    n_exp: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-backtrace Pallas kernel: walks the per-frame merge/expansion
+    backpointers in reverse in ONE kernel (grid over frames, slot state in
+    VMEM scratch), replacing a lax.scan whose ~30 tiny [B, K] ops per
+    iteration were pure per-op overhead (~43 ms of the decode wall).
+    K-way gathers become K-select chains — K is the beam width, so each is
+    a handful of VPU selects on one tile. Returns (toks [T, E, B, K] i32,
+    valid [T, E, B, K] i32) in the same (r = n_exp..1) round order as the
+    scan it replaces."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, R, B, K = fp.shape
+    E = esrc.shape[1]
+    assert R == n_exp + 1 and E == max(n_exp, 1)
+
+    def gather_k(tab, idx):
+        out = jnp.zeros_like(tab)
+        for s in range(K):
+            out = jnp.where(idx == s, tab[:, s : s + 1], out)
+        return out
+
+    def kernel(act_ref, fp_ref, msrc_ref, esrc_ref, etok_ref, order_ref,
+               toks_ref, valid_ref, slot_scr):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            slot_scr[:] = order_ref[:]
+
+        slot = slot_scr[:]
+        act = act_ref[0]  # [B, 1]
+        cont = jnp.broadcast_to(act > 0, (B, K))
+        exit_level = jnp.full((B, K), -1, jnp.int32)
+        exit_slot = slot
+        cur = slot
+        for j in range(n_exp, -1, -1):
+            f = gather_k(fp_ref[0, j], cur) > 0
+            src = gather_k(msrc_ref[0, j], cur)
+            newly = cont & ~f
+            exit_level = jnp.where(newly, j, exit_level)
+            exit_slot = jnp.where(newly, src, exit_slot)
+            cur = jnp.where(cont & f, src, cur)
+            cont = cont & f
+        s = exit_slot
+        for idx_r, r in enumerate(range(n_exp, 0, -1)):
+            m = exit_level >= r
+            tok = gather_k(etok_ref[0, r - 1], s)
+            src = gather_k(esrc_ref[0, r - 1], s)
+            toks_ref[0, idx_r] = jnp.where(m, tok, 0)
+            valid_ref[0, idx_r] = m.astype(jnp.int32)
+            s = jnp.where(m, src, s)
+        slot_scr[:] = s
+
+    rev = lambda i: (T - 1 - i, 0, 0, 0)
+    toks, valid = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, 1), lambda i: (T - 1 - i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, B, K), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, B, K), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, B, K), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, B, K), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, E, B, K), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, B, K), rev, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, E, B, K), jnp.int32),
+            jax.ShapeDtypeStruct((T, E, B, K), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, K), jnp.int32)],
+        interpret=interpret,
+    )(active, fp, msrc, esrc, etok, order)
+    return toks, valid
