@@ -215,6 +215,18 @@ def main(argv=None) -> Dict[str, float]:
 
     num_utts = 0
     num_tokens = 0
+    # multi-chip serving: shard each decode batch over the data axis
+    # (replaces the reference's per-process --num-shards/--shard-id split,
+    # speech_recognize.py:178-192, with one GSPMD sharding annotation)
+    decode_mesh = None
+    if jax.device_count() > 1 and cfg.distributed.data_parallel_size != 1:
+        from espresso_tpu.parallel.mesh import make_mesh
+
+        decode_mesh = make_mesh(data_parallel_size=-1, model_parallel_size=1)
+        logger.info(
+            "data-parallel decode over %d devices", decode_mesh.devices.size
+        )
+
     t0 = time.perf_counter()
     has_ref = False
     for group in itr:
@@ -227,7 +239,15 @@ def main(argv=None) -> Dict[str, float]:
                 k: np.asarray(v) if hasattr(v, "shape") else v
                 for k, v in dec_mb.items()
             }
-            hypos = generator.decode(variables, dec_mb)
+            dec_vars = variables
+            B_mb = dec_mb["src_lengths"].shape[0]
+            if decode_mesh is not None and B_mb % decode_mesh.devices.size == 0:
+                from espresso_tpu.decode.api import shard_for_decode
+
+                dec_vars, dec_mb = shard_for_decode(
+                    decode_mesh, variables, dec_mb
+                )
+            hypos = generator.decode(dec_vars, dec_mb)
             utt_ids = group["utt_ids"][i]
             if cfg.generation.print_alignment:
                 collect_attention(dec_mb, hypos, utt_ids)

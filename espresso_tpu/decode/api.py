@@ -127,6 +127,26 @@ class TransformerLMAdapter:
         )
 
 
+def shard_for_decode(mesh, variables, batch):
+    """Serving-style data-parallel decode: place params replicated and the
+    batch sharded over the mesh's 'data' axis; the decoders' jitted search
+    functions then partition across chips via GSPMD (no code changes in the
+    decoders — the reference's --num-shards/--shard-id host sharding,
+    speech_recognize.py:178-192, becomes one sharding annotation)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    variables = jax.device_put(variables, rep)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and v.ndim >= 1:
+            spec = P("data", *([None] * (v.ndim - 1)))
+            out[k] = jax.device_put(jnp.asarray(v), NamedSharding(mesh, spec))
+        else:
+            out[k] = v
+    return variables, out
+
+
 def make_adapter(model):
     from espresso_tpu.models.transformer_lm import TransformerLanguageModel
 
