@@ -118,6 +118,9 @@ class OptimizationConfig:
     sentence_avg: bool = False
     stop_min_lr: float = -1.0
     ema_decay: float = 0.0  # exponential moving average of params (0 = off)
+    # quant-noise QAT (fairseq --quant-noise-pq / --quant-noise-pq-block-size)
+    quant_noise_pq: float = 0.0
+    quant_noise_block_size: int = 8
 
 
 @dataclass

@@ -90,6 +90,46 @@ def dequantize_params_int8(params: Dict[str, Any]) -> Dict[str, Any]:
     return walk(params)
 
 
+def apply_quant_noise(
+    params: Dict[str, Any],
+    rng,
+    p: float,
+    block_size: int = 8,
+    min_size: int = 4096,
+) -> Dict[str, Any]:
+    """Quant-noise training transform (fairseq/modules/quant_noise.py,
+    "Training with quantization noise for extreme model compression"):
+    during the forward pass a random fraction ``p`` of ``block_size``-wide
+    weight blocks is dropped (zeroed, with 1/(1-p) rescale) so the trained
+    model tolerates PQ/scalar quantization. Pure functional: returns a new
+    params tree; applied inside the jitted train step."""
+    import jax as _jax
+
+    if p <= 0.0:
+        return params
+    leaves_rng = [0]
+
+    def walk(node, key):
+        if isinstance(node, dict):
+            return {
+                k: walk(v, _jax.random.fold_in(key, i))
+                for i, (k, v) in enumerate(sorted(node.items()))
+            }
+        if (
+            hasattr(node, "ndim")
+            and node.ndim == 2
+            and node.size >= min_size
+        ):
+            n_blocks = -(-node.shape[0] * node.shape[1] // block_size)
+            keep = _jax.random.bernoulli(key, 1.0 - p, (n_blocks,))
+            mask_flat = jnp.repeat(keep, block_size)[: node.size]
+            mask = mask_flat.reshape(node.shape)
+            return jnp.where(mask, node / (1.0 - p), 0.0).astype(node.dtype)
+        return node
+
+    return walk(params, rng)
+
+
 # ---------------------------------------------------------------------------
 # Pallas w8a8 matmul
 # ---------------------------------------------------------------------------

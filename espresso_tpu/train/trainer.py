@@ -171,7 +171,16 @@ def make_train_step(
 
     prepare_features = make_device_feature_fn(cfg)
 
+    qn_p = cfg.optimization.quant_noise_pq
+    qn_bs = cfg.optimization.quant_noise_block_size
+
     def loss_for_microbatch(params, batch_stats, microbatch, rng, ss_prob):
+        if qn_p > 0.0:
+            from espresso_tpu.ops.quantization import apply_quant_noise
+
+            params = apply_quant_noise(
+                params, jax.random.fold_in(rng, 3), qn_p, qn_bs
+            )
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats

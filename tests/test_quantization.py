@@ -120,3 +120,55 @@ def test_quantized_model_still_decodes():
     assert (
         np.asarray(jnp.argmax(ref_lp, -1)) == np.asarray(jnp.argmax(out_lp, -1))
     ).mean() > 0.9
+
+
+def test_quant_noise_masks_blocks_and_preserves_expectation():
+    from espresso_tpu.ops.quantization import apply_quant_noise
+
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    params = {"layer": {"kernel": w}, "tiny": {"kernel": jnp.ones((2, 2))}}
+    out = apply_quant_noise(params, jax.random.PRNGKey(0), p=0.25,
+                            block_size=8, min_size=1024)
+    noisy = np.asarray(out["layer"]["kernel"])
+    # tiny kernels untouched
+    np.testing.assert_array_equal(np.asarray(out["tiny"]["kernel"]),
+                                  np.ones((2, 2)))
+    # roughly a quarter of values zeroed, survivors rescaled by 1/(1-p)
+    zero_frac = (noisy == 0).mean()
+    assert 0.1 < zero_frac < 0.45
+    surv = noisy[noisy != 0]
+    ref = np.asarray(w)[noisy != 0]
+    np.testing.assert_allclose(surv, ref / 0.75, rtol=1e-5)
+    # p=0 is identity
+    same = apply_quant_noise(params, jax.random.PRNGKey(0), p=0.0)
+    assert same is params
+
+
+def test_quant_noise_training_e2e(tmp_path):
+    """Train briefly with quant noise on; loss stays finite and decreases."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from tests.utils import make_corpus
+
+    from espresso_tpu.cli.train import main as train_main
+
+    d = str(tmp_path)
+    make_corpus(d, "train", num_utts=12, feat_dim=8, seed=0)
+    make_corpus(d, "valid", num_utts=4, feat_dim=8, seed=1)
+    stats = train_main([
+        f"dataset.data={d}", f"checkpoint.save_dir={d}/ckpt",
+        "dataset.max_tokens=800", "dataset.num_batch_buckets=1",
+        "dataset.required_batch_size_multiple=2", "dataset.feat_dim=8",
+        "model.name=speech_lstm", "model.conv_channels=(4,)",
+        "model.conv_kernel_sizes=((3,3),)", "model.conv_strides=((2,2),)",
+        "model.encoder_hidden_size=16", "model.encoder_layers=1",
+        "model.decoder_embed_dim=8", "model.decoder_hidden_size=16",
+        "model.decoder_out_embed_dim=16", "model.decoder_layers=1",
+        "model.attention_dim=16", "model.dropout=0.0",
+        "optimization.lr=0.003", "optimization.max_epoch=1",
+        "optimization.quant_noise_pq=0.1",
+        "common.log_interval=10", "common.dtype=float32",
+    ])
+    assert np.isfinite(stats["loss"])
