@@ -260,6 +260,11 @@ class CriterionSection:
     # wav2vec2 pretraining (fairseq wav2vec_criterion loss_weights)
     diversity_loss_weight: float = 0.1
     features_penalty_weight: float = 10.0
+    # Gumbel temperature anneal: max(end, start * decay^update)
+    # (fairseq wav2vec2 latent_temp (2.0, 0.5, 0.999995))
+    gumbel_temp_start: float = 2.0
+    gumbel_temp_end: float = 0.5
+    gumbel_temp_decay: float = 0.999995
 
 
 @dataclass
@@ -397,19 +402,28 @@ def apply_saved_model_cfg(cfg, argv: Optional[List[str]] = None):
         blob = json.load(f)
     if "name" not in blob:  # written before the section name was recorded
         return cfg
-    section: Dict[str, Any] = {"name": blob["name"], **(blob.get("config") or {})}
-    for arg in argv or []:
-        if "=" not in arg:
-            continue
-        key, _, value = arg.partition("=")
-        key = key.lstrip("-").replace("-", "_")
-        if not key.startswith("model."):
-            continue
-        node = section
-        parts = key.split(".")[1:]
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = _coerce(value)
+    saved_cfg: Dict[str, Any] = dict(blob.get("config") or {})
+    saved_cfg.pop("name", None)  # keep the recorded arch name authoritative
+    section: Dict[str, Any] = {"name": blob["name"], **saved_cfg}
+
+    # overlay every model override the user actually supplied (YAML via
+    # --config and key=value argv both land in cfg.model); the default
+    # sentinel name is not an override
+    def overlay(dst: Dict[str, Any], src: Dict[str, Any]):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                overlay(dst[k], v)
+            else:
+                dst[k] = v
+
+    user_model = dict(cfg.model)
+    if user_model.get("name") == "speech_lstm" and not any(
+        (a.split("=", 1)[0].lstrip("-").replace("-", "_") == "model.name")
+        for a in (argv or [])
+        if "=" in a
+    ):
+        user_model.pop("name", None)
+    overlay(section, user_model)
     cfg.model = section
     return cfg
 

@@ -287,13 +287,28 @@ class Wav2Vec2Criterion:
         self.diversity_weight = cfg.diversity_loss_weight
         self.features_pen_weight = cfg.features_penalty_weight
 
-    def __call__(self, model, variables, batch, rngs=None, train=False, ss_prob=1.0):
+    def __call__(
+        self, model, variables, batch, rngs=None, train=False, ss_prob=1.0,
+        step=None,
+    ):
+        # Gumbel temperature anneal max(end, start*decay^update)
+        # (fairseq wav2vec2 latent_temp); constant start temp when the
+        # caller provides no update counter (eval)
+        if step is not None:
+            temp = jnp.maximum(
+                self.cfg.gumbel_temp_end,
+                self.cfg.gumbel_temp_start
+                * self.cfg.gumbel_temp_decay ** step.astype(jnp.float32),
+            )
+        else:
+            temp = self.cfg.gumbel_temp_start
         out = model.apply(
             variables,
             batch["src_frames"],
             batch["src_lengths"],
             train=train,
             rngs=rngs,
+            gumbel_temp=temp,
         )
         logits = out["logits"].astype(jnp.float32)  # [B, T, 1+K]
         lse = jax.nn.logsumexp(

@@ -41,6 +41,8 @@ class EspressoHubInterface:
     ) -> Union[List[str], List[List[str]]]:
         """inputs: wave paths / 'ark:offset' feature rxfilenames. Returns the
         1-best transcript per input (or n-best lists when nbest > 1)."""
+        import shutil
+
         from espresso_tpu.cli.interactive import _kind
 
         tmpdir = tempfile.mkdtemp(prefix="espresso_hub_")
@@ -59,6 +61,7 @@ class EspressoHubInterface:
             ds = self.task.load_dataset("hub")
         finally:
             self.cfg.dataset.data = saved_data
+            self._tmpdir = tmpdir  # removed after decode below
         itr = self.task.get_batch_iterator(
             ds,
             self.cfg.dataset.max_tokens,
@@ -89,6 +92,8 @@ class EspressoHubInterface:
                         )
                         for h in hyp_list[:nbest]
                     ]
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        self.task.datasets.pop("hub", None)
         if nbest == 1:
             return [results.get(u, [""])[0] for u in ids]
         return [results.get(u, []) for u in ids]

@@ -66,7 +66,7 @@ class Wav2Vec2Config:
     quantizer_groups: int = 2
     quantizer_entries: int = 320
     vq_dim: int = 256
-    gumbel_temp: float = 2.0  # annealed by the criterion via temp arg
+    gumbel_temp: float = 2.0  # start temp; criterion anneals per update
     # contrastive
     num_negatives: int = 100
     logit_temp: float = 0.1
@@ -298,14 +298,16 @@ class Wav2Vec2Model(nn.Module):
         c = self.context(x, padding_mask, train)
         cx = self.final_proj(c)  # [B, T, F]
 
-        # negatives: uniform over the row's valid frames, excluding self
+        # negatives: uniform over the row's valid frames, excluding self —
+        # draws land in [0, len-1) and the >=t shift maps them to
+        # [0, len-1] \ {t}, so no negative ever collides with the positive
+        # (masked-out padding rows included: their draws stay below t)
         high = jnp.maximum(lengths - 1, 1)[:, None, None]
         neg_idx = jax.random.randint(
             neg_rng, (B, T, cfg.num_negatives), 0, high
         )
         tpos = jnp.arange(T)[None, :, None]
         neg_idx = jnp.where(neg_idx >= tpos, neg_idx + 1, neg_idx)
-        neg_is_pos = neg_idx == tpos
         neg_idx = jnp.minimum(neg_idx, T - 1)
         negs = jax.vmap(lambda yb, ib: yb[ib])(y, neg_idx)  # [B,T,K,F]
 
@@ -316,7 +318,6 @@ class Wav2Vec2Model(nn.Module):
 
         pos_logit = cos(cx, y)[..., None]  # [B,T,1]
         neg_logit = cos(cx[:, :, None, :], negs)  # [B,T,K]
-        neg_logit = jnp.where(neg_is_pos, -jnp.inf, neg_logit)
         logits = (
             jnp.concatenate([pos_logit, neg_logit], axis=-1) / cfg.logit_temp
         )

@@ -35,17 +35,41 @@ import jax.numpy as jnp
 NEG_INF = -1.0e9
 
 
-def _pick_bb(B: int, K: int) -> Optional[int]:
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16 MB core VMEM
+
+
+def _kernel_vmem_bytes(bb: int, K: int, V: int, J: int, H: int) -> int:
+    rows = bb * K
+    weights = (H * J + J * V + 3 * J + V) * 4  # held as f32 worst case
+    acts = rows * (J + H + 1) * 4
+    # logits/lp/masked/work live as [rows, V] f32 (compiler may overlap;
+    # budget the worst case)
+    wide = 4 * rows * V * 4
+    return weights + acts + wide
+
+
+def _pick_bb(
+    B: int,
+    K: int,
+    V: Optional[int] = None,
+    J: Optional[int] = None,
+    H: Optional[int] = None,
+) -> Optional[int]:
     for bb in (16, 8, 4, 2, 1):
-        if B % bb == 0:
-            return bb
+        if B % bb != 0:
+            continue
+        if V is not None and _kernel_vmem_bytes(bb, K, V, J, H) > _VMEM_BUDGET:
+            continue
+        return bb
     return None
 
 
 def supports_fused_joint_topk(B: int, K: int, V: int, J: int, H: int) -> bool:
-    """Shape gate for the kernel (lane alignment + batch tiling)."""
+    """Shape gate for the kernel: lane alignment, batch tiling, and a VMEM
+    budget so large-vocab joints fall back to the jnp path instead of
+    failing Mosaic compilation."""
     return (
-        _pick_bb(B, K) is not None
+        _pick_bb(B, K, V, J, H) is not None
         and V % 128 == 0
         and J % 128 == 0
         and H % 128 == 0
@@ -81,8 +105,8 @@ def fused_joint_topk(
     V = w_out.shape[1]
     B = scores.shape[0]
     assert BK == B * K
-    bb = _pick_bb(B, K)
-    assert bb is not None
+    bb = _pick_bb(B, K, V, J, H)
+    assert bb is not None, "shape over VMEM budget — use the jnp path"
     rows = bb * K
 
     def kernel(enc_ref, feat_ref, sc_ref, wd_ref, bd_ref, lns_ref, lnb_ref,

@@ -70,6 +70,7 @@ def quantize_params_int8(
                     q, s = quantize_int8(np.asarray(v), axis=-1)
                     out[k] = {"__int8__": True, "q": q, "scale": s}
                     n_q += 1
+                    n_total += 1
                 else:
                     out[k] = walk(v)
             return out

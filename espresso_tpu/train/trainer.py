@@ -174,7 +174,14 @@ def make_train_step(
     qn_p = cfg.optimization.quant_noise_pq
     qn_bs = cfg.optimization.quant_noise_block_size
 
-    def loss_for_microbatch(params, batch_stats, microbatch, rng, ss_prob):
+    import inspect as _inspect
+
+    criterion_accepts_step = (
+        "step" in _inspect.signature(criterion.__call__).parameters
+    )
+
+    def loss_for_microbatch(params, batch_stats, microbatch, rng, ss_prob,
+                            step=None):
         if qn_p > 0.0:
             from espresso_tpu.ops.quantization import apply_quant_noise
 
@@ -198,8 +205,10 @@ def make_train_step(
                 )
             mb["src_frames"] = frames.astype(compute_dtype)
         rngs = {"dropout": rng, "sampling": jax.random.fold_in(rng, 1)}
+        extra = {"step": step} if criterion_accepts_step else {}
         loss, sample_size, logging, updates = criterion(
-            model, variables, mb, rngs=rngs, train=True, ss_prob=ss_prob
+            model, variables, mb, rngs=rngs, train=True, ss_prob=ss_prob,
+            **extra,
         )
         new_stats = updates.get("batch_stats", batch_stats)
         return loss, (sample_size, logging, new_stats)
@@ -216,7 +225,7 @@ def make_train_step(
             mb, mb_rng = inputs
             (loss, (sample_size, logging, new_stats)), grads = (
                 jax.value_and_grad(loss_for_microbatch, has_aux=True)(
-                    state.params, stats, mb, mb_rng, ss_prob
+                    state.params, stats, mb, mb_rng, ss_prob, state.step
                 )
             )
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
