@@ -411,16 +411,28 @@ class TransducerBeamSearchDecoder:
                         )
                     versions.append((exp_feat, exp_carry, exp_lm))
 
-                # materialize the winning pool states: one gather from the
-                # stacked per-round versions (flat row = ver*BK + b*K + slot)
-                flat_pool = (pool_ver * BK + bidx * K + pool_slot).reshape(-1)
+                # materialize the winning pool states: per-version gathers
+                # selected by the slot's version index (avoids concatenating
+                # the versions into a [R*BK, ...] buffer — XLA emitted that
+                # concat as two 15 MB copies per frame)
+                flat_slot = (bidx * K + pool_slot).reshape(-1)
+                flat_ver = pool_ver.reshape(-1)
 
                 def gather_versions(leaves):
                     def g(*leaf_versions):
                         x0 = leaf_versions[0]
                         axis = 1 if x0.ndim == 3 and x0.shape[1] == BK else 0
-                        stacked = jnp.concatenate(leaf_versions, axis=axis)
-                        return jnp.take(stacked, flat_pool, axis=axis)
+                        out = jnp.take(leaf_versions[0], flat_slot, axis=axis)
+                        for v in range(1, len(leaf_versions)):
+                            shape = [1] * x0.ndim
+                            shape[axis] = BK
+                            m = (flat_ver == v).reshape(shape)
+                            out = jnp.where(
+                                m,
+                                jnp.take(leaf_versions[v], flat_slot, axis=axis),
+                                out,
+                            )
+                        return out
 
                     return jax.tree_util.tree_map(g, *leaves)
 
