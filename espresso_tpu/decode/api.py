@@ -103,7 +103,8 @@ class LMAdapter:
 
 class TransformerLMAdapter:
     """Transformer LM for shallow fusion: carry = (per-layer k/v caches
-    [BK, S, H, Dh], position index)."""
+    [BK, S, H, Dh], per-row position indices [BK]) — per-row positions let
+    transducer AES beams advance the LM unevenly."""
 
     def __init__(self, model):
         self.model = model
@@ -123,7 +124,7 @@ class TransformerLMAdapter:
         caches, pos = state
         return (
             jax.tree_util.tree_map(lambda x: jnp.take(x, idx, axis=0), caches),
-            pos,
+            jnp.take(pos, idx, axis=0),
         )
 
 

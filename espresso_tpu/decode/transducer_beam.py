@@ -93,20 +93,13 @@ class TransducerBeamSearchDecoder:
         self.lm_variables = lm_variables
         self.fused_kernel = fused_kernel
         if lm is not None:
-            from espresso_tpu.decode.api import TransformerLMAdapter, make_adapter
+            from espresso_tpu.decode.api import make_adapter
 
+            # every adapter keeps per-row state ([BK] leading/batch axes,
+            # incl. the transformer LM's per-row position counters), so AES
+            # beams can advance the LM unevenly and the generic tree
+            # reorder/select machinery applies
             self.lm_adapter = make_adapter(lm)
-            if isinstance(self.lm_adapter, TransformerLMAdapter):
-                # AES beams take different numbers of LM steps per frame;
-                # the transformer LM cache indexes positions with one scalar
-                # per batch, which cannot represent per-beam positions. The
-                # attention-model beam search (lockstep steps) supports
-                # transformer LM fusion; for transducers use an LSTM LM.
-                raise NotImplementedError(
-                    "transducer AES fusion requires a per-row-state LM "
-                    "(lstm_lm); transformer LM fusion is supported in the "
-                    "attention-model beam search only"
-                )
         else:
             self.lm_adapter = None
         self._jitted: Dict[Tuple, Any] = {}

@@ -209,12 +209,15 @@ class TransformerLanguageModel(nn.Module):
 
     # -- incremental decoding (fusion) ----------------------------------------
     def init_carry(self, batch_size: int, max_len: int, dtype=jnp.float32):
+        # per-ROW position counter: beam searches that advance rows by
+        # different numbers of steps (transducer AES fusion) stay correct;
+        # lockstep decoders simply see a constant vector
         return (
             [
                 layer.make_cache(batch_size, max_len, dtype)
                 for layer in self.lm_layers
             ],
-            jnp.zeros((), jnp.int32),
+            jnp.zeros((batch_size,), jnp.int32),
         )
 
     def decode_step(self, tokens: jnp.ndarray, carry):
@@ -222,7 +225,16 @@ class TransformerLanguageModel(nn.Module):
         cfg = self.cfg
         caches, idx = carry
         x = self.embed(tokens)[:, None, :] * (cfg.embed_dim ** 0.5)
-        x = x + self._positions(1, offset=idx)[None]
+        if cfg.pos == "learned":
+            table = self.pos_table
+        elif cfg.pos == "sinusoidal":
+            table = sinusoidal_positions(
+                cfg.max_target_positions, cfg.embed_dim
+            )
+        else:
+            table = None
+        if table is not None:
+            x = x + jnp.take(table, idx, axis=0)[:, None, :]
         new_caches = []
         for layer, cache in zip(self.lm_layers, caches):
             x, new_cache = layer(x, cache=cache, cache_index=idx)

@@ -82,25 +82,68 @@ class MultiheadAttention(nn.Module):
         q = self._split(self.q_proj(query))
         new_cache = None
         if cache is not None and "k" in cache and key is query:
-            # incremental self-attention: append this step's k/v
+            # incremental self-attention: append this step's k/v.
+            # cache_index may be a scalar (lockstep decode) or a [B] vector
+            # (per-row positions — transducer AES beams advance the fusion
+            # LM different numbers of steps per frame)
             k_new = self._split(self.k_proj(key))
             v_new = self._split(self.v_proj(value))
+            per_row = (
+                hasattr(cache_index, "ndim") and cache_index.ndim == 1
+            )
             if self.use_rotary:
-                pos = jnp.asarray(cache_index).reshape(1)
-                q = apply_rotary(q, pos, inv_freq)
-                k_new = apply_rotary(k_new, pos, inv_freq)
-            k_all = jax.lax.dynamic_update_slice(
-                cache["k"], k_new.astype(cache["k"].dtype), (0, cache_index, 0, 0)
-            )
-            v_all = jax.lax.dynamic_update_slice(
-                cache["v"], v_new.astype(cache["v"].dtype), (0, cache_index, 0, 0)
-            )
+                if per_row:
+                    # rotate each row by its own position
+                    ang = cache_index.astype(jnp.float32)[:, None] * jnp.asarray(
+                        inv_freq
+                    )[None, :]
+                    sin = jnp.sin(ang)[:, None, None, :].astype(q.dtype)
+                    cos = jnp.cos(ang)[:, None, None, :].astype(q.dtype)
+
+                    def rot(x):
+                        x1, x2 = jnp.split(x, 2, axis=-1)
+                        return jnp.concatenate(
+                            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1
+                        )
+
+                    q = rot(q)
+                    k_new = rot(k_new)
+                else:
+                    pos = jnp.asarray(cache_index).reshape(1)
+                    q = apply_rotary(q, pos, inv_freq)
+                    k_new = apply_rotary(k_new, pos, inv_freq)
+            if per_row:
+                B_ = q.shape[0]
+                rows = jnp.arange(B_)
+                k_all = cache["k"].at[rows, cache_index].set(
+                    k_new[:, 0].astype(cache["k"].dtype)
+                )
+                v_all = cache["v"].at[rows, cache_index].set(
+                    v_new[:, 0].astype(cache["v"].dtype)
+                )
+                S = k_all.shape[1]
+                step_mask = (
+                    jnp.arange(S)[None, :] <= cache_index[:, None]
+                )
+            else:
+                k_all = jax.lax.dynamic_update_slice(
+                    cache["k"],
+                    k_new.astype(cache["k"].dtype),
+                    (0, cache_index, 0, 0),
+                )
+                v_all = jax.lax.dynamic_update_slice(
+                    cache["v"],
+                    v_new.astype(cache["v"].dtype),
+                    (0, cache_index, 0, 0),
+                )
+                S = k_all.shape[1]
+                step_mask = jnp.broadcast_to(
+                    jnp.arange(S)[None, :] <= cache_index, (q.shape[0], S)
+                )
             new_cache = {"k": k_all, "v": v_all}
             k, v = k_all, v_all
-            S = k.shape[1]
-            step_mask = jnp.arange(S)[None, :] <= cache_index
             if key_padding_mask is None:
-                key_padding_mask = jnp.broadcast_to(step_mask, (q.shape[0], S))
+                key_padding_mask = step_mask
             else:
                 key_padding_mask = key_padding_mask & step_mask
         elif cache is not None and "k_static" in cache:

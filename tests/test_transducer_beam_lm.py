@@ -15,7 +15,7 @@ from espresso_tpu.models.transducer import TransducerConfig, TransducerModel
 V = 9
 
 
-def _setup():
+def _setup(lm_kind="lstm"):
     d = AsrDictionary(enable_bos=True)
     for i in range(V - 5):
         d.add_symbol(f"u{i}")
@@ -48,11 +48,24 @@ def _setup():
     prev = jnp.asarray(rng.integers(3, V, (2, 3)), jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), frames, lengths, prev)
     # LM over the blank-less vocabulary (size V-1, index shift -1)
-    lm_cfg = LSTMLMConfig(
-        vocab_size=V - 1, embed_dim=8, hidden_size=8, out_embed_dim=8,
-        num_layers=1, dropout=0.0,
-    )
-    lm = LSTMLanguageModel(lm_cfg)
+    if lm_kind == "lstm":
+        lm_cfg = LSTMLMConfig(
+            vocab_size=V - 1, embed_dim=8, hidden_size=8, out_embed_dim=8,
+            num_layers=1, dropout=0.0,
+        )
+        lm = LSTMLanguageModel(lm_cfg)
+    else:
+        from espresso_tpu.models.transformer_lm import (
+            TransformerLanguageModel,
+            TransformerLMConfig,
+        )
+
+        lm = TransformerLanguageModel(
+            TransformerLMConfig(
+                vocab_size=V - 1, embed_dim=8, ffn_dim=16, layers=1,
+                heads=2, dropout=0.0, max_target_positions=32,
+            )
+        )
     lm_vars = lm.init(
         jax.random.PRNGKey(1), jnp.zeros((2, 3), jnp.int32)
     )
@@ -75,8 +88,12 @@ def _decode(d, model, variables, batch, lm=None, lm_vars=None, w=0.0):
     return dec.decode(variables, batch)
 
 
-def test_lm_weight_zero_matches_no_lm():
-    d, model, variables, lm, lm_vars, batch = _setup()
+import pytest
+
+
+@pytest.mark.parametrize("lm_kind", ["lstm", "transformer"])
+def test_lm_weight_zero_matches_no_lm(lm_kind):
+    d, model, variables, lm, lm_vars, batch = _setup(lm_kind)
     base = _decode(d, model, variables, batch)
     zero = _decode(d, model, variables, batch, lm=lm, lm_vars=lm_vars, w=0.0)
     for b in range(len(base)):
@@ -86,8 +103,9 @@ def test_lm_weight_zero_matches_no_lm():
             assert abs(h0["score"] - h1["score"]) < 1e-4
 
 
-def test_lm_fusion_changes_scores_and_stays_finite():
-    d, model, variables, lm, lm_vars, batch = _setup()
+@pytest.mark.parametrize("lm_kind", ["lstm", "transformer"])
+def test_lm_fusion_changes_scores_and_stays_finite(lm_kind):
+    d, model, variables, lm, lm_vars, batch = _setup(lm_kind)
     base = _decode(d, model, variables, batch)
     fused = _decode(d, model, variables, batch, lm=lm, lm_vars=lm_vars, w=0.7)
     assert all(len(hyps) >= 1 for hyps in fused)
