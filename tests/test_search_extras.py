@@ -282,3 +282,41 @@ def test_constraints_reject_sampling_combo():
     cons = np.zeros((1, 1, 1), np.int32)
     with pytest.raises(ValueError):
         dec.decode({}, _batch(), constraints=cons)
+
+
+def test_beam_search_transformer_lm_fusion():
+    """Attention beam search + transformer LM shallow fusion (lockstep
+    positions; transformer LM carry = per-layer caches + per-row index)."""
+    import jax
+
+    from espresso_tpu.models.transformer_lm import (
+        TransformerLanguageModel,
+        TransformerLMConfig,
+    )
+
+    d = _dict()
+    V = len(d)
+    row = np.full((V,), -6.0, np.float32)
+    row[d.index("u0")] = -0.5
+    row[d.index("u1")] = -0.7
+    row[d.eos()] = -2.0
+    model = _FixedLprobModel(row)
+    lm = TransformerLanguageModel(
+        TransformerLMConfig(
+            vocab_size=V, embed_dim=8, ffn_dim=16, layers=1, heads=2,
+            dropout=0.0, max_target_positions=32,
+        )
+    )
+    lm_vars = lm.init(jax.random.PRNGKey(0), jnp.zeros((1, 2), jnp.int32))
+    base = BeamSearchDecoder(model, d, beam_size=2, max_len_b=5).decode(
+        {}, _batch()
+    )
+    dec = BeamSearchDecoder(
+        model, d, beam_size=2, max_len_b=5, lm=lm, lm_weight=0.5
+    )
+    dec.lm_variables = lm_vars
+    fused = dec.decode({}, _batch())
+    assert len(fused) == 1 and len(fused[0]) >= 1
+    assert np.isfinite(fused[0][0]["score"])
+    # fusion shifted the scores
+    assert abs(fused[0][0]["score"] - base[0][0]["score"]) > 1e-4
