@@ -279,3 +279,49 @@ def test_manual_and_plateau_lr_reach_optimizer(tmp_path, caplog):
         ])
     msgs = [r.message for r in caplog.records]
     assert any("lr -> 0.005" in m for m in msgs), msgs[-10:]
+
+
+def test_chunk_streaming_train_and_decode_e2e(tmp_path):
+    """Chunked streaming attention end to end: train a transformer with
+    chunk_size>0 (randomized chunks in training), then decode through
+    speech_recognize — the saved model config restores the streaming mask
+    (reference chunk_streaming_mask, espresso/tools/utils.py:131 +
+    speech_transformer_encoder.py:240-248)."""
+    import os
+
+    from tests.utils import make_corpus
+
+    from espresso_tpu.cli.speech_recognize import main as rec_main
+    from espresso_tpu.cli.train import main as train_main
+
+    d = str(tmp_path)
+    make_corpus(d, "train", num_utts=12, feat_dim=8, seed=0, max_words=3)
+    make_corpus(d, "valid", num_utts=4, feat_dim=8, seed=1, max_words=3)
+    import shutil
+
+    shutil.copy(f"{d}/valid.json", f"{d}/test.json")
+    args = [
+        f"dataset.data={d}", f"checkpoint.save_dir={d}/ckpt",
+        "dataset.max_tokens=800", "dataset.num_batch_buckets=1",
+        "dataset.required_batch_size_multiple=2", "dataset.feat_dim=8",
+        "model.name=speech_transformer", "model.conv_channels=(4,)",
+        "model.conv_kernel_sizes=((3,3),)", "model.conv_strides=((2,2),)",
+        "model.encoder_embed_dim=16", "model.encoder_ffn_dim=32",
+        "model.encoder_layers=1", "model.encoder_heads=2",
+        "model.decoder_embed_dim=16", "model.decoder_ffn_dim=32",
+        "model.decoder_layers=1", "model.decoder_heads=2",
+        "model.dropout=0.0", "model.chunk_size=4",
+        "model.chunk_left_window=1", "model.chunk_right_window=0",
+        "optimization.lr=0.003", "optimization.max_epoch=1",
+        "common.log_interval=20", "common.dtype=float32",
+    ]
+    train_main(args)
+    out = os.path.join(d, "decode")
+    res = rec_main([
+        f"dataset.data={d}", f"checkpoint.save_dir={d}/ckpt",
+        f"generation.results_path={out}", "dataset.gen_subset=test",
+        "generation.beam=2", "generation.max_len_b=12",
+        "dataset.batch_size=4", "dataset.feat_dim=8",
+    ])
+    assert res["num_utts"] == 4
+    assert os.path.exists(os.path.join(out, "wer"))
