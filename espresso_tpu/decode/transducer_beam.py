@@ -168,7 +168,15 @@ class TransducerBeamSearchDecoder:
                 # Blank-less index shift (transducer_base_decoder.py:85-104):
                 # the LM dictionary lacks the blank/bos symbol, so LM index =
                 # model index - 1 (blank = bos = 0 in the transducer dict).
-                s0 = lm_adapter.init_state(lm_variables, None, BK, L_max)
+                # Cache bound = the true emission ceiling (n_exp labels per
+                # frame + the initial eos step), NOT L_max: a hypothesis may
+                # emit more than L_max labels before output truncation, and
+                # an overflowing positional cache would silently corrupt LM
+                # scores (scatter writes past the buffer are dropped).
+                lm_max_len = (
+                    enc.encoder_out.shape[1] * max(n_exp, 1) + 1
+                )
+                s0 = lm_adapter.init_state(lm_variables, None, BK, lm_max_len)
                 eos_lm = jnp.full((BK,), self.dict.eos() - 1, jnp.int32)
                 lg0, s0, _ = lm_adapter.step(lm_variables, eos_lm, s0)
                 lm_state0 = (

@@ -152,6 +152,16 @@ class TransformerLanguageModel(nn.Module):
         elif not cfg.share_embed:
             self.fc_out = nn.Dense(cfg.vocab_size, use_bias=False, name="fc_out")
 
+    def _pos_table(self):
+        """Full [max_target_positions, D] position table (one source of
+        truth for training and incremental decode)."""
+        cfg = self.cfg
+        if cfg.pos == "learned":
+            return self.pos_table
+        if cfg.pos == "sinusoidal":
+            return sinusoidal_positions(cfg.max_target_positions, cfg.embed_dim)
+        return None
+
     def _positions(self, U: int, offset=0):
         cfg = self.cfg
         if cfg.pos == "learned":
@@ -225,16 +235,9 @@ class TransformerLanguageModel(nn.Module):
         cfg = self.cfg
         caches, idx = carry
         x = self.embed(tokens)[:, None, :] * (cfg.embed_dim ** 0.5)
-        if cfg.pos == "learned":
-            table = self.pos_table
-        elif cfg.pos == "sinusoidal":
-            table = sinusoidal_positions(
-                cfg.max_target_positions, cfg.embed_dim
-            )
-        else:
-            table = None
+        table = self._pos_table()
         if table is not None:
-            x = x + jnp.take(table, idx, axis=0)[:, None, :]
+            x = x + jnp.take(table, idx, axis=0, mode="clip")[:, None, :]
         new_caches = []
         for layer, cache in zip(self.lm_layers, caches):
             x, new_cache = layer(x, cache=cache, cache_index=idx)

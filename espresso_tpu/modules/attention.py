@@ -91,23 +91,21 @@ class MultiheadAttention(nn.Module):
             per_row = (
                 hasattr(cache_index, "ndim") and cache_index.ndim == 1
             )
+            if per_row:
+                # the per-row path appends exactly ONE step per call
+                assert q.shape[1] == 1, (
+                    "per-row cache_index requires single-step queries"
+                )
             if self.use_rotary:
                 if per_row:
-                    # rotate each row by its own position
-                    ang = cache_index.astype(jnp.float32)[:, None] * jnp.asarray(
-                        inv_freq
-                    )[None, :]
-                    sin = jnp.sin(ang)[:, None, None, :].astype(q.dtype)
-                    cos = jnp.cos(ang)[:, None, None, :].astype(q.dtype)
+                    from espresso_tpu.modules.positional import (
+                        apply_rotary_single_step,
+                    )
 
-                    def rot(x):
-                        x1, x2 = jnp.split(x, 2, axis=-1)
-                        return jnp.concatenate(
-                            [x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1
-                        )
-
-                    q = rot(q)
-                    k_new = rot(k_new)
+                    q = apply_rotary_single_step(q, cache_index, inv_freq)
+                    k_new = apply_rotary_single_step(
+                        k_new, cache_index, inv_freq
+                    )
                 else:
                     pos = jnp.asarray(cache_index).reshape(1)
                     q = apply_rotary(q, pos, inv_freq)

@@ -73,6 +73,20 @@ def apply_rotary(
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
+def apply_rotary_single_step(
+    x: jnp.ndarray,  # [B, 1, H, Dh] one query/key step per row
+    positions: jnp.ndarray,  # [B] per-row absolute positions
+    inv_freq: np.ndarray,
+) -> jnp.ndarray:
+    """Rotate one decode step per row by that row's own position (uneven
+    beam advancement); same rotate-half convention as :func:`apply_rotary`."""
+    ang = positions.astype(jnp.float32)[:, None] * jnp.asarray(inv_freq)[None, :]
+    sin = jnp.sin(ang)[:, None, None, :].astype(x.dtype)
+    cos = jnp.cos(ang)[:, None, None, :].astype(x.dtype)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
 class RelativePositionalEmbedding(nn.Module):
     """Learned or sinusoidal relative position table for self-attention.
 

@@ -140,3 +140,60 @@ def test_transformer_lm_fusion_adapter():
     state = ad.reorder(state, jnp.asarray([1, 0, 3, 2]))
     logits2, state, _ = ad.step(variables, jnp.ones((4,), jnp.int32), state)
     assert np.isfinite(np.asarray(logits2)).all()
+
+
+def test_per_row_positions_match_full_forward_uneven():
+    """The per-row incremental path (transducer-AES fusion mechanism): rows
+    advanced different numbers of steps must each match a full causal
+    forward over that row's own prefix."""
+    cfg = _cfg()
+    lm = TransformerLanguageModel(cfg)
+    rng = np.random.default_rng(7)
+    B, U = 3, 6
+    tokens = jnp.asarray(rng.integers(0, V, (B, U)), jnp.int32)
+    variables = lm.init(jax.random.PRNGKey(0), tokens)
+    full = lm.apply(variables, tokens)  # [B, U, V]
+
+    # advance row 0 six steps, row 1 three, row 2 one — interleaved so the
+    # per-row position counters genuinely diverge
+    steps_per_row = [6, 3, 1]
+    carry = lm.apply(variables, B, U, method="init_carry")
+    got = {b: [] for b in range(B)}
+    counters = [0, 0, 0]
+    for round_i in range(max(steps_per_row)):
+        # rows that still advance feed their next token; exhausted rows
+        # re-feed token 0 but their outputs are ignored
+        feed = jnp.asarray(
+            [
+                tokens[b, min(counters[b], U - 1)]
+                for b in range(B)
+            ],
+            jnp.int32,
+        )
+        logits, new_carry = lm.apply(
+            variables, feed, carry, method="decode_step"
+        )
+        caches, idx = new_carry
+        old_caches, old_idx = carry
+        # freeze exhausted rows (the AES live-mask pattern)
+        live = jnp.asarray(
+            [counters[b] < steps_per_row[b] for b in range(B)]
+        )
+        carry = (
+            jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    live.reshape((B,) + (1,) * (n.ndim - 1)), n, o
+                ),
+                caches,
+                old_caches,
+            ),
+            jnp.where(live, idx, old_idx),
+        )
+        for b in range(B):
+            if counters[b] < steps_per_row[b]:
+                got[b].append(np.asarray(logits[b]))
+                counters[b] += 1
+    for b in range(B):
+        inc = np.stack(got[b])  # [steps_b, V]
+        ref = np.asarray(full[b, : steps_per_row[b]])
+        np.testing.assert_allclose(inc, ref, atol=3e-4)
