@@ -182,6 +182,10 @@ class OptimizerConfig:
     adam_eps: float = 1e-8
     weight_decay: float = 0.0
     momentum: float = 0.0  # sgd/nag
+    # composite optimizer (fairseq/optim/composite.py): per-param-group
+    # settings keyed by top-level parameter name prefix, e.g.
+    # groups: {encoder: {name: adam, lr_scale: 0.1}, default: {name: adam}}
+    groups: Optional[Dict[str, Any]] = None
 
 
 @dataclass

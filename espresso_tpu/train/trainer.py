@@ -76,6 +76,8 @@ def build_optimizer(cfg: EspressoConfig) -> Tuple[optax.GradientTransformation, 
         core = optax.trace(decay=cfg.optimizer.momentum, nesterov=True)
     elif name == "momentum":
         core = optax.trace(decay=cfg.optimizer.momentum, nesterov=False)
+    elif name == "composite":
+        return _build_composite(cfg, schedule), schedule
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     chain = [core]
@@ -83,6 +85,51 @@ def build_optimizer(cfg: EspressoConfig) -> Tuple[optax.GradientTransformation, 
         chain.append(optax.add_decayed_weights(cfg.optimizer.weight_decay))
     chain.append(optax.scale_by_schedule(lambda s: -schedule(s)))
     return optax.chain(*chain), schedule
+
+
+def _build_composite(cfg: EspressoConfig, schedule):
+    """Per-param-group optimizers (fairseq/optim/composite.py): each group
+    in optimizer.groups names an optimizer + lr_scale; parameters are
+    assigned to the longest matching top-level-name prefix (fallback group
+    'default'). One optax.multi_transform keeps it a single jitted update."""
+    import dataclasses as _dc
+
+    assert cfg.optimizer.groups, "optimizer.name=composite needs optimizer.groups"
+    groups = dict(cfg.optimizer.groups)
+    groups.setdefault("default", {"name": "adam"})
+    transforms = {}
+    for gname, gspec in groups.items():
+        sub_cfg = _dc.replace(cfg)
+        sub_opt = _dc.replace(cfg.optimizer)
+        for k, v in dict(gspec).items():
+            if k == "lr_scale":
+                continue
+            setattr(sub_opt, k, tuple(v) if isinstance(v, list) else v)
+        sub_opt.groups = None
+        sub_cfg.optimizer = sub_opt
+        tx, _ = build_optimizer(sub_cfg)
+        scale = float(dict(gspec).get("lr_scale", 1.0))
+        if scale != 1.0:
+            tx = optax.chain(tx, optax.scale(scale))
+        transforms[gname] = tx
+
+    prefixes = sorted(
+        (g for g in groups if g != "default"), key=len, reverse=True
+    )
+
+    def label_of(top_key: str) -> str:
+        for p in prefixes:
+            if top_key.startswith(p):
+                return p
+        return "default"
+
+    def labels(params):
+        return {
+            k: jax.tree_util.tree_map(lambda _: label_of(k), v)
+            for k, v in params.items()
+        }
+
+    return optax.multi_transform(transforms, labels)
 
 
 def make_device_feature_fn(cfg: EspressoConfig):

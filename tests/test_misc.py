@@ -325,3 +325,34 @@ def test_chunk_streaming_train_and_decode_e2e(tmp_path):
     ])
     assert res["num_utts"] == 4
     assert os.path.exists(os.path.join(out, "wer"))
+
+
+def test_composite_optimizer_groups():
+    """Per-param-group composite optimizer (fairseq/optim/composite.py):
+    groups get their own optimizer and lr scale; lr_scale=0 freezes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from espresso_tpu.config import EspressoConfig
+    from espresso_tpu.train.trainer import build_optimizer
+
+    cfg = EspressoConfig()
+    cfg.optimizer.name = "composite"
+    cfg.optimizer.groups = {
+        "encoder": {"name": "sgd", "lr_scale": 0.0},  # frozen trunk
+        "default": {"name": "adam"},
+    }
+    tx, _ = build_optimizer(cfg)
+    params = {
+        "encoder": {"w": jnp.ones((3,))},
+        "decoder": {"w": jnp.ones((3,))},
+    }
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(new["encoder"]["w"]), 1.0
+    )  # frozen
+    assert float(jnp.abs(new["decoder"]["w"] - 1.0).sum()) > 0  # trained
