@@ -151,7 +151,10 @@ def fused_joint_topk(
             )
             vals_ref[:, c : c + 1] = best
             idx_ref[:, c : c + 1] = first
-            work = jnp.where(cols == first, NEG_INF, work)
+            # mask BELOW NEG_INF so already-picked columns lose ties
+            # against untouched NEG_INF columns (distinct indices, like
+            # lax.top_k)
+            work = jnp.where(cols == first, 2.0 * NEG_INF, work)
 
     grid = (B // bb,)
     out = pl.pallas_call(
@@ -292,3 +295,108 @@ def aes_backtrace(
         interpret=interpret,
     )(active, fp, msrc, esrc, etok, order)
     return toks, valid
+
+
+def aes_merge(
+    pool_scores: jnp.ndarray,  # [B, K] f32
+    blank_scores: jnp.ndarray,  # [B, K] f32 (exp_scores + blank log-prob)
+    pool_hash: jnp.ndarray,  # [B, K] i32
+    exp_hash: jnp.ndarray,  # [B, K] i32
+    pool_ver: jnp.ndarray,  # [B, K] i32
+    pool_slot: jnp.ndarray,  # [B, K] i32
+    round_j: int,
+    interpret: bool = False,
+):
+    """One AES blank-merge round as a single Pallas kernel: exact duplicate
+    logaddexp over the 2K candidate pool (rolling-hash equality), stable
+    top-K, and the pool bookkeeping (hash/version/slot gathers + backtrace
+    emissions). Replaces ~25 tiny [B, K]-sized XLA ops per merge (3 merges
+    per frame) whose launch overhead dominated the remaining scan time.
+    All loops are static (2K dedup columns, K selection iterations, 2K-way
+    select-gathers) on one [B, 2K] VMEM tile.
+
+    Returns (top_pool [B,K] f32, new_hash, new_ver, new_slot, from_pool
+    [B,K] i32, src_slot [B,K] i32) with tie behavior identical to the jnp
+    path (first-occurrence/stable)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, K = pool_scores.shape
+    K2 = 2 * K
+
+    def gather2k(tab, idx):  # idx [B,1] -> value [B,1]
+        out = jnp.zeros_like(tab[:, :1])
+        for s in range(K2):
+            out = jnp.where(idx == s, tab[:, s : s + 1], out)
+        return out
+
+    def kernel(ps_ref, bs_ref, ph_ref, eh_ref, pv_ref, psl_ref,
+               top_ref, nh_ref, nv_ref, ns_ref, fp_ref, ss_ref):
+        merged = jnp.concatenate([ps_ref[:], bs_ref[:]], axis=1)  # [B,2K]
+        hashes = jnp.concatenate([ph_ref[:], eh_ref[:]], axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, K2), 1)
+        live = merged > NEG_INF / 2
+        eff = jnp.where(live, hashes, -(cols + 1))
+        # exact duplicate merge: for each column, logaddexp all equal-hash
+        # scores; only the first occurrence keeps the combined score
+        dedup = jnp.full((B, K2), NEG_INF, jnp.float32)
+        for c in range(K2):
+            eq = eff == eff[:, c : c + 1]
+            vals = jnp.where(eq, merged, NEG_INF)
+            m = jnp.max(vals, axis=1, keepdims=True)
+            comb = m + jnp.log(
+                jnp.sum(jnp.exp(vals - m), axis=1, keepdims=True)
+            )
+            comb = jnp.where(m > NEG_INF / 2, comb, NEG_INF)
+            first = jnp.min(jnp.where(eq, cols, K2), axis=1, keepdims=True)
+            keep = first == c
+            dedup = jnp.where(
+                (cols == c) & keep, comb, dedup
+            )
+        # stable top-K (max + first-occurrence mask)
+        work = dedup
+        for k in range(K):
+            best = jnp.max(work, axis=1, keepdims=True)
+            col = jnp.min(
+                jnp.where(work == best, cols, K2), axis=1, keepdims=True
+            ).astype(jnp.int32)
+            top_ref[:, k : k + 1] = best
+            from_pool = col < K
+            src = jnp.where(from_pool, col, col - K)
+            fp_ref[:, k : k + 1] = from_pool.astype(jnp.int32)
+            ss_ref[:, k : k + 1] = src
+            nh_ref[:, k : k + 1] = gather2k(hashes, col)
+            pv2 = jnp.concatenate(
+                [pv_ref[:], jnp.full((B, K), round_j, jnp.int32)], axis=1
+            )
+            nv_ref[:, k : k + 1] = gather2k(pv2, col)
+            psl2 = jnp.concatenate([psl_ref[:], cols[:, :K]], axis=1)
+            ns_ref[:, k : k + 1] = jnp.where(
+                from_pool, gather2k(psl2, col), src
+            )
+            # strictly-below mask keeps picked columns out of later ties
+            work = jnp.where(cols == col, 2.0 * NEG_INF, work)
+
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[vspec() for _ in range(6)],
+        out_specs=tuple(vspec() for _ in range(6)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+        ),
+        interpret=interpret,
+    )(
+        pool_scores.astype(jnp.float32),
+        blank_scores.astype(jnp.float32),
+        pool_hash.astype(jnp.int32),
+        exp_hash.astype(jnp.int32),
+        pool_ver.astype(jnp.int32),
+        pool_slot.astype(jnp.int32),
+    )
+    return outs

@@ -141,3 +141,63 @@ def test_fused_joint_topk_eos_folding():
     # eos and blank never appear among the top candidates
     v_ids = np.asarray(idx) % V
     assert not np.isin(v_ids, [0, 2]).any()
+
+
+def test_aes_merge_matches_jnp_semantics():
+    """aes_merge kernel vs the decoder's jnp dedup+top-K merge round."""
+    from espresso_tpu.ops.decode_kernels import aes_merge
+
+    rng = np.random.default_rng(3)
+    Bm, Km = 4, 5
+    NEG = -1.0e9
+    pool_scores = jnp.asarray(rng.standard_normal((Bm, Km)), jnp.float32)
+    # kill some pool slots; create duplicate hashes across pool/exp
+    pool_scores = pool_scores.at[:, 3:].set(NEG)
+    blank_scores = jnp.asarray(rng.standard_normal((Bm, Km)), jnp.float32)
+    pool_hash = jnp.asarray(rng.integers(0, 4, (Bm, Km)), jnp.int32)
+    exp_hash = jnp.asarray(rng.integers(0, 4, (Bm, Km)), jnp.int32)
+    pool_ver = jnp.asarray(rng.integers(0, 2, (Bm, Km)), jnp.int32)
+    pool_slot = jnp.asarray(rng.integers(0, Km, (Bm, Km)), jnp.int32)
+    j = 1
+
+    # jnp reference (the decoder's legacy merge block)
+    merged_scores = jnp.concatenate([pool_scores, blank_scores], axis=1)
+    merged_hash = jnp.concatenate([pool_hash, exp_hash], axis=1)
+    slot_ids = jnp.arange(2 * Km)[None, :]
+    live = merged_scores > NEG / 2
+    eff = jnp.where(live, merged_hash, -(slot_ids + 1))
+    eq = eff[:, :, None] == eff[:, None, :]
+    comb = jax.nn.logsumexp(
+        jnp.where(eq, merged_scores[:, None, :], NEG), axis=2
+    )
+    first = jnp.argmax(eq, axis=2) == slot_ids
+    dedup = jnp.where(first, comb, NEG)
+    top_ref, sel = jax.lax.top_k(dedup, Km)
+    from_pool_ref = sel < Km
+    src_ref = jnp.where(from_pool_ref, sel, sel - Km)
+    hash_ref = jnp.where(
+        from_pool_ref,
+        jnp.take_along_axis(pool_hash, src_ref, axis=1),
+        jnp.take_along_axis(exp_hash, src_ref, axis=1),
+    )
+    ver_ref = jnp.where(
+        from_pool_ref,
+        jnp.take_along_axis(pool_ver, src_ref, axis=1),
+        j,
+    )
+    slot_ref = jnp.where(
+        from_pool_ref,
+        jnp.take_along_axis(pool_slot, src_ref, axis=1),
+        src_ref,
+    )
+
+    top, nh, nv, ns, fp, ss = aes_merge(
+        pool_scores, blank_scores, pool_hash, exp_hash, pool_ver, pool_slot,
+        round_j=j, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(top), np.asarray(top_ref), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(from_pool_ref))
+    np.testing.assert_array_equal(np.asarray(ss), np.asarray(src_ref))
+    np.testing.assert_array_equal(np.asarray(nh), np.asarray(hash_ref))
+    np.testing.assert_array_equal(np.asarray(nv), np.asarray(ver_ref))
+    np.testing.assert_array_equal(np.asarray(ns), np.asarray(slot_ref))
