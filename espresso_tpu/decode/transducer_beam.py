@@ -267,57 +267,90 @@ class TransducerBeamSearchDecoder:
                         blank_scores = exp_scores + lprobs[:, :, blank]
 
                     # ---- blank: candidates for the next frame -------------
-                    merged_scores = jnp.concatenate(
-                        [pool_scores, blank_scores], axis=1
-                    )  # [B, 2K]
-                    # exact duplicate merge (the reference prefix merge's
-                    # equal-sequence case): identical token sequences share a
-                    # rolling hash -> logaddexp their probabilities, keep the
-                    # first occurrence
-                    merged_hash = jnp.concatenate([pool_hash, exp_hash], axis=1)
-                    slot_ids = jnp.arange(2 * K)[None, :]
-                    live = merged_scores > NEG_INF / 2
-                    eff_hash = jnp.where(live, merged_hash, -(slot_ids + 1))
-                    eq = eff_hash[:, :, None] == eff_hash[:, None, :]
-                    comb = jax.nn.logsumexp(
-                        jnp.where(eq, merged_scores[:, None, :], NEG_INF),
-                        axis=2,
-                    )
-                    first = jnp.argmax(eq, axis=2) == slot_ids
-                    merged_scores = jnp.where(first, comb, NEG_INF)
-                    merged_idx = jnp.concatenate(
-                        [
-                            jnp.arange(K)[None, :].repeat(B, 0),  # pool slot
-                            K + jnp.arange(K)[None, :].repeat(B, 0),
-                        ],
-                        axis=1,
-                    )
-                    top_pool, sel = jax.lax.top_k(merged_scores, K)
-                    take = jnp.take_along_axis(merged_idx, sel, axis=1)  # [B,K]
-                    from_pool = take < K
-                    src_slot = jnp.where(from_pool, take, take - K)
-                    bp_fp.append(from_pool)
-                    bp_msrc.append(src_slot)
-                    # gather hash + indirection indices only (cheap [B,K]
-                    # ints) — no state movement
                     bidx = jnp.arange(B)[:, None]
-                    new_pool_hash = jnp.where(
-                        from_pool,
-                        jnp.take_along_axis(pool_hash, src_slot, axis=1),
-                        jnp.take_along_axis(exp_hash, src_slot, axis=1),
-                    )
-                    pool_ver = jnp.where(
-                        from_pool,
-                        jnp.take_along_axis(pool_ver, src_slot, axis=1),
-                        j,
-                    )
-                    pool_slot = jnp.where(
-                        from_pool,
-                        jnp.take_along_axis(pool_slot, src_slot, axis=1),
-                        src_slot,
-                    )
-                    pool_scores = top_pool
-                    pool_hash = new_pool_hash
+                    # the merge kernel currently SIGABRTs this libtpu's
+                    # Mosaic backend at production shapes, so it stays
+                    # opt-in ("on+merge") / interpret-tested; the jnp merge
+                    # runs by default even on the fused path
+                    if fused_interpret or fused_mode == "on+merge":
+                        # single-kernel merge round (dedup + top-K +
+                        # bookkeeping) — the ~25 tiny [B, K] XLA ops below
+                        # were pure launch overhead inside the scan
+                        from espresso_tpu.ops.decode_kernels import aes_merge
+
+                        (
+                            pool_scores,
+                            pool_hash,
+                            pool_ver,
+                            pool_slot,
+                            fp_i,
+                            src_slot,
+                        ) = aes_merge(
+                            pool_scores,
+                            blank_scores,
+                            pool_hash,
+                            exp_hash,
+                            pool_ver,
+                            pool_slot,
+                            round_j=j,
+                            interpret=fused_interpret,
+                        )
+                        from_pool = fp_i.astype(bool)
+                        bp_fp.append(from_pool)
+                        bp_msrc.append(src_slot)
+                    else:
+                        merged_scores = jnp.concatenate(
+                            [pool_scores, blank_scores], axis=1
+                        )  # [B, 2K]
+                        # exact duplicate merge (the reference prefix
+                        # merge's equal-sequence case): identical token
+                        # sequences share a rolling hash -> logaddexp their
+                        # probabilities, keep the first occurrence
+                        merged_hash = jnp.concatenate(
+                            [pool_hash, exp_hash], axis=1
+                        )
+                        slot_ids = jnp.arange(2 * K)[None, :]
+                        live = merged_scores > NEG_INF / 2
+                        eff_hash = jnp.where(
+                            live, merged_hash, -(slot_ids + 1)
+                        )
+                        eq = eff_hash[:, :, None] == eff_hash[:, None, :]
+                        comb = jax.nn.logsumexp(
+                            jnp.where(eq, merged_scores[:, None, :], NEG_INF),
+                            axis=2,
+                        )
+                        first = jnp.argmax(eq, axis=2) == slot_ids
+                        merged_scores = jnp.where(first, comb, NEG_INF)
+                        merged_idx = jnp.concatenate(
+                            [
+                                jnp.arange(K)[None, :].repeat(B, 0),
+                                K + jnp.arange(K)[None, :].repeat(B, 0),
+                            ],
+                            axis=1,
+                        )
+                        top_pool, sel = jax.lax.top_k(merged_scores, K)
+                        take = jnp.take_along_axis(merged_idx, sel, axis=1)
+                        from_pool = take < K
+                        src_slot = jnp.where(from_pool, take, take - K)
+                        bp_fp.append(from_pool)
+                        bp_msrc.append(src_slot)
+                        new_pool_hash = jnp.where(
+                            from_pool,
+                            jnp.take_along_axis(pool_hash, src_slot, axis=1),
+                            jnp.take_along_axis(exp_hash, src_slot, axis=1),
+                        )
+                        pool_ver = jnp.where(
+                            from_pool,
+                            jnp.take_along_axis(pool_ver, src_slot, axis=1),
+                            j,
+                        )
+                        pool_slot = jnp.where(
+                            from_pool,
+                            jnp.take_along_axis(pool_slot, src_slot, axis=1),
+                            src_slot,
+                        )
+                        pool_scores = top_pool
+                        pool_hash = new_pool_hash
 
                     if j == n_exp:
                         break
