@@ -324,11 +324,11 @@ def aes_merge(
     B, K = pool_scores.shape
     K2 = 2 * K
 
-    def gather2k(tab, idx):  # idx [B,1] -> value [B,1]
-        out = jnp.zeros_like(tab[:, :1])
-        for s in range(K2):
-            out = jnp.where(idx == s, tab[:, s : s + 1], out)
-        return out
+    def gather2k(tab, idx):  # idx [B,1] -> value [B,1] (one-hot reduce)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, K2), 1) == idx
+        )
+        return jnp.sum(jnp.where(onehot, tab, 0), axis=1, keepdims=True)
 
     def kernel(ps_ref, bs_ref, ph_ref, eh_ref, pv_ref, psl_ref,
                top_ref, nh_ref, nv_ref, ns_ref, fp_ref, ss_ref):
