@@ -21,8 +21,24 @@ decode bottleneck, not FLOPs) and transfers only compact int16 tokens
 over the slow host link. Identical token
 sequences in the next-frame pool are merged exactly: a rolling sequence
 hash rides the hypothesis state and equal-hash candidates logaddexp
-their scores (the reference prefix merge's equal-sequence case;
-prefix-extension merging is covered by the expansion rounds).
+their scores (the reference prefix merge's equal-sequence case).
+
+Proper-prefix merging (reference ``prefix_search_and_merge``,
+transducer_beam_search_decoder.py:273,:465-486 via ``is_prefix_tensorized``
+transducer_utils.py:723): at each frame start, for every hypothesis pair
+where A is a proper prefix of B with extension length <= ``prefix_alpha``,
+the extension tokens are scored with the current frame's joint and A's
+probability mass logaddexp'd into B. The fixed-shape formulation detects
+prefix pairs by inverting the rolling hash (31 is odd, hence invertible
+mod 2^32): the depth-d ancestor hash of each hypothesis is compared
+against every other hypothesis' hash together with an exact length match.
+Extension scoring reuses the frame's round-0 joint log-probs for the
+first extension token (the prefix hypothesis' prediction feature IS the
+longer hypothesis' feature at that position — the prediction net is
+deterministic in the token prefix) and a ring buffer of the last
+``prefix_alpha - 1`` prediction features for deeper extensions. Unlike
+the reference's unbounded default, extension depth is statically bounded
+by ``prefix_alpha`` (the reference itself advises alpha=1).
 
 Optional shallow LM fusion with blank-less index shifting is applied on
 label expansions only (reference transducer_base_decoder.py:85-104).
@@ -37,6 +53,9 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1.0e9
+# multiplicative inverse of the rolling-hash base 31 mod 2^32 (int32 wrap):
+# parent_hash = (hash - (tok + 1)) * INV31
+INV31 = np.int32(-1108378657)
 
 
 def _exact_topk_rows(x: jnp.ndarray, k: int, block: int = 128):
@@ -77,7 +96,8 @@ class TransducerBeamSearchDecoder:
         lm_weight: float = 0.0,
         lm_variables=None,
         model_predicts_eos: bool = False,
-        fused_kernel: str = "auto",  # auto | on | off | interpret
+        fused_kernel: str = "auto",  # auto | on | on+merge | off | interpret
+        prefix_alpha: Optional[int] = 1,
     ):
         self.model = model
         self.dict = dictionary
@@ -92,6 +112,21 @@ class TransducerBeamSearchDecoder:
         self.lm_weight = lm_weight
         self.lm_variables = lm_variables
         self.fused_kernel = fused_kernel
+        # prefix_alpha: 0 disables the proper-prefix merge; n >= 1 bounds the
+        # extension depth (None = the reference's "no cap" default, which a
+        # fixed-shape scan can't express — mapped to the advised depth 1)
+        if prefix_alpha is None:
+            prefix_alpha = 1
+        assert prefix_alpha >= 0, prefix_alpha
+        if prefix_alpha > 1 and lm is not None:
+            # deeper merges would need a ring of [BK, V_lm] LM prob history
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "prefix_alpha>1 with LM fusion is unsupported; clamping to 1"
+            )
+            prefix_alpha = 1
+        self.prefix_alpha = prefix_alpha
         if lm is not None:
             from espresso_tpu.decode.api import make_adapter
 
@@ -115,6 +150,7 @@ class TransducerBeamSearchDecoder:
         n_cand = K + self.expansion_beta
         gamma = self.expansion_gamma
         lm_adapter, lm_weight = self.lm_adapter, self.lm_weight
+        A = self.prefix_alpha
 
         fused_mode = self.fused_kernel
 
@@ -146,7 +182,7 @@ class TransducerBeamSearchDecoder:
                     Jf = joint_w["w_dec"].shape[1]
                     Hf = joint_w["w_dec"].shape[0]
                     use_fused = fused_interpret or (
-                        fused_mode in ("auto", "on")
+                        fused_mode in ("auto", "on", "on+merge")
                         and supports_fused_joint_topk(B, K, Vf, Jf, Hf)
                     )
                 except (KeyError, TypeError):
@@ -190,6 +226,20 @@ class TransducerBeamSearchDecoder:
             scores0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones(
                 (B, 1)
             )
+            if A >= 1:
+                # prefix-merge state: emitted-label counts, a ring of the
+                # last A tokens (newest first) and, for depth >= 2, the last
+                # A-1 prediction features (feat_hist[m] = the feature used to
+                # score the token m emissions ago)
+                pm0 = (
+                    jnp.zeros((BK,), jnp.int32),
+                    jnp.zeros((BK, A), jnp.int32),
+                    jnp.zeros((A - 1, BK, feat0.shape[-1]), feat0.dtype)
+                    if A >= 2
+                    else None,
+                )
+            else:
+                pm0 = None
 
             enc_proj = model.apply(
                 variables, enc.encoder_out, method="joint_enc_proj"
@@ -202,6 +252,7 @@ class TransducerBeamSearchDecoder:
                     pred_feat,
                     pred_carry,
                     lm_state,
+                    pm_state,
                 ) = carry
                 enc_t = jnp.repeat(enc_proj[:, t], K, axis=0)  # [BK, J]
                 active_t = (t < enc.src_lengths)  # [B]
@@ -224,9 +275,10 @@ class TransducerBeamSearchDecoder:
                 exp_scores = scores
                 exp_hash = hashes
                 exp_feat, exp_carry, exp_lm = pred_feat, pred_carry, lm_state
+                exp_pm = pm_state
                 # version v state = expansion state after v label rounds;
                 # rows are [BK] b-major, exp slots map to rows identically
-                versions = [(exp_feat, exp_carry, exp_lm)]
+                versions = [(exp_feat, exp_carry, exp_lm, exp_pm)]
 
                 # n_exp LABEL expansions per frame (reference semantics),
                 # plus a blank-merge after each round (n_exp + 1 merges)
@@ -265,6 +317,158 @@ class TransducerBeamSearchDecoder:
                             ).at[:, :, eos].set(NEG_INF)
                         V = lprobs.shape[-1]
                         blank_scores = exp_scores + lprobs[:, :, blank]
+
+                    # ---- proper-prefix merge (frame start only) -----------
+                    # reference prefix_search_and_merge semantics: for every
+                    # pair (i, j) where seq_i is a proper prefix of seq_j and
+                    # len_j - len_i <= A, add score_i + sum of the extension
+                    # tokens' log-probs under THIS frame's joint into score_j
+                    if j == 0 and A >= 1:
+                        sl, th, fh = exp_pm
+                        sl2 = sl.reshape(B, K)
+                        th3 = th.reshape(B, K, A)
+                        live2 = exp_scores > NEG_INF / 2
+
+                        if use_fused:
+                            # the fused kernel never materializes [BK, V]
+                            # log-probs; reconstruct each row's normalizer
+                            # from its (score-independent) blank log-prob:
+                            # lse = logit_blank - blank_lp, with the joint
+                            # hidden recomputed cheaply ([BK, J] einsums)
+                            f32 = jnp.float32
+                            dproj = (
+                                exp_feat.astype(f32)
+                                @ joint_w["w_dec"].astype(f32)
+                                + joint_w["b_dec"].astype(f32)
+                            )
+                            mu = dproj.mean(-1, keepdims=True)
+                            var = jnp.mean(
+                                jnp.square(dproj - mu), -1, keepdims=True
+                            )
+                            dn = (dproj - mu) * jax.lax.rsqrt(var + 1e-6)
+                            dn = dn * joint_w["ln_scale"].astype(f32) + joint_w[
+                                "ln_bias"
+                            ].astype(f32)
+                            hjnt = jnp.maximum(enc_t.astype(f32) + dn, 0.0)
+                            w_out = joint_w["w_out"].astype(f32)
+                            b_out = joint_w["b_out"].astype(f32)
+                            lb = hjnt @ w_out[:, blank] + b_out[blank]
+                            if predicts_eos:
+                                le = hjnt @ w_out[:, eos] + b_out[eos]
+                                lse = jnp.logaddexp(lb, le) - blank_lp_f.reshape(-1)
+                            else:
+                                lse = lb - blank_lp_f.reshape(-1)
+                            h3 = hjnt.reshape(B, K, -1)
+                            lse2 = lse.reshape(B, K)
+
+                            def row_tok_lp(src, tok):
+                                hsrc = jnp.take_along_axis(
+                                    h3, src[:, :, None], axis=1
+                                )
+                                wt = jnp.take(w_out.T, tok, axis=0)
+                                logit = jnp.sum(hsrc * wt, -1) + jnp.take(
+                                    b_out, tok
+                                )
+                                return logit - jnp.take_along_axis(
+                                    lse2, src, axis=1
+                                )
+
+                        else:
+
+                            def row_tok_lp(src, tok):
+                                lp_rows = jnp.take_along_axis(
+                                    lprobs, src[:, :, None], axis=1
+                                )
+                                return jnp.take_along_axis(
+                                    lp_rows, tok[:, :, None], axis=2
+                                )[..., 0]
+
+                        if A >= 2:
+                            # per-row joints on the feature history: the
+                            # token m emissions ago scored by feat_hist[m]
+                            feat_h = fh.reshape((A - 1) * BK, -1)
+                            logits_h = model.apply(
+                                variables,
+                                jnp.tile(enc_t, (A - 1, 1)),
+                                feat_h,
+                                method="joint_step_precomputed",
+                            )
+                            lp_h = jax.nn.log_softmax(
+                                logits_h.astype(jnp.float32), -1
+                            ).reshape(A - 1, B, K, -1)
+                            lp_tok_h = jnp.take_along_axis(
+                                lp_h,
+                                jnp.moveaxis(th3[:, :, : A - 1], 2, 0)[
+                                    ..., None
+                                ],
+                                axis=3,
+                            )[..., 0]  # [A-1, B, K]
+                            # cum[m] = sum of history terms 0..m
+                            cum_h = jnp.cumsum(lp_tok_h, axis=0)
+
+                        if lm_adapter is not None and lm_weight != 0.0:
+                            _, cached_lp0 = exp_lm
+                            lm_lp2 = cached_lp0.reshape(B, K, -1)
+
+                        mass = jnp.full((B, K), NEG_INF)
+                        anc = exp_hash
+                        for d in range(1, A + 1):
+                            anc = (anc - (th3[:, :, d - 1] + 1)) * INV31
+                            # eq[b, i, j]: row i is the depth-d prefix of j
+                            eq = (
+                                (exp_hash[:, :, None] == anc[:, None, :])
+                                & (
+                                    sl2[:, :, None]
+                                    == sl2[:, None, :] - d
+                                )
+                                & live2[:, :, None]
+                                & live2[:, None, :]
+                                & (sl2[:, None, :] >= d)
+                            )
+                            has = eq.any(axis=1)
+                            src = jnp.argmax(eq, axis=1).astype(jnp.int32)
+                            # first extension token: scored by the SOURCE's
+                            # current feature (== j's feature at that prefix)
+                            tok0 = th3[:, :, d - 1]
+                            contrib = jnp.take_along_axis(
+                                exp_scores, src, axis=1
+                            ) + row_tok_lp(src, tok0)
+                            if d >= 2:
+                                contrib = contrib + cum_h[d - 2]
+                            if lm_adapter is not None and lm_weight != 0.0:
+                                # shallow-fusion term, blank-less index shift
+                                # (matches the expansion rounds' fusion)
+                                lm_tok = jnp.maximum(tok0 - 1, 0)
+                                lm_rows = jnp.take_along_axis(
+                                    lm_lp2, src[:, :, None], axis=1
+                                )
+                                contrib = contrib + lm_weight * (
+                                    jnp.take_along_axis(
+                                        lm_rows, lm_tok[:, :, None], axis=2
+                                    )[..., 0]
+                                )
+                            mass = jnp.logaddexp(
+                                mass, jnp.where(has, contrib, NEG_INF)
+                            )
+                        exp_scores = jnp.logaddexp(exp_scores, mass)
+                        if use_fused:
+                            # candidate values/top-k fold the scores inside
+                            # the kernel — re-run it with the merged scores
+                            blank_lp_f, fused_vals, fused_idx = fused_joint_topk(
+                                enc_t,
+                                exp_feat,
+                                exp_scores,
+                                K=K,
+                                n_cand=n_cand,
+                                blank=blank,
+                                eos=eos,
+                                fold_eos_into_blank=predicts_eos,
+                                interpret=fused_interpret,
+                                **joint_w,
+                            )
+                            blank_scores = exp_scores + blank_lp_f
+                        else:
+                            blank_scores = exp_scores + lprobs[:, :, blank]
 
                     # ---- blank: candidates for the next frame -------------
                     bidx = jnp.arange(B)[:, None]
@@ -412,6 +616,31 @@ class TransducerBeamSearchDecoder:
                     exp_carry = reorder(exp_carry)
                     if exp_lm is not None:
                         exp_lm = reorder(exp_lm)
+                    if A >= 1:
+                        # prefix-merge rings: push the new token (and, for
+                        # depth >= 2, the pre-advance prediction feature)
+                        live_pm = (keep_scores > NEG_INF / 2).reshape(-1)
+                        sl_e, th_e, fh_e = exp_pm
+                        sl_e = jnp.take(sl_e, flat_beam)
+                        th_e = jnp.take(th_e, flat_beam, axis=0)
+                        sl_e = jnp.where(live_pm, sl_e + 1, sl_e)
+                        th_e = jnp.where(
+                            live_pm[:, None],
+                            jnp.concatenate(
+                                [new_tok.reshape(-1, 1), th_e[:, :-1]], axis=1
+                            ),
+                            th_e,
+                        )
+                        if fh_e is not None:
+                            fh_g = jnp.take(fh_e, flat_beam, axis=1)
+                            fh_e = jnp.where(
+                                live_pm[None, :, None],
+                                jnp.concatenate(
+                                    [exp_feat[None], fh_g[:-1]], axis=0
+                                ),
+                                fh_g,
+                            )
+                        exp_pm = (sl_e, th_e, fh_e)
                     # advance prediction net with the new labels
                     new_feat, new_carry = model.apply(
                         variables,
@@ -443,7 +672,7 @@ class TransducerBeamSearchDecoder:
                         exp_lm = jax.tree_util.tree_map(
                             live_mask, new_exp_lm, exp_lm
                         )
-                    versions.append((exp_feat, exp_carry, exp_lm))
+                    versions.append((exp_feat, exp_carry, exp_lm, exp_pm))
 
                 # materialize the winning pool states: per-version gathers
                 # selected by the slot's version index (avoids concatenating
@@ -477,6 +706,11 @@ class TransducerBeamSearchDecoder:
                     if lm_state is not None
                     else None
                 )
+                pool_pm = (
+                    gather_versions([v[3] for v in versions])
+                    if A >= 1
+                    else None
+                )
 
                 # inactive frames: keep previous beam unchanged
                 keep_old = ~active_t
@@ -497,6 +731,8 @@ class TransducerBeamSearchDecoder:
                 pred_carry = keep_state(pred_carry, pool_carry)
                 if lm_state is not None:
                     lm_state = keep_state(lm_state, pool_lm)
+                if A >= 1:
+                    pm_state = keep_state(pm_state, pool_pm)
                 ys = (
                     jnp.stack(bp_fp),  # [n_exp+1, B, K] bool
                     jnp.stack(bp_msrc).astype(jnp.int32),
@@ -513,11 +749,12 @@ class TransducerBeamSearchDecoder:
                     pred_feat,
                     pred_carry,
                     lm_state,
+                    pm_state,
                 ), ys
 
-            init = (scores0, hash0, feat0, carry0, lm_state0)
+            init = (scores0, hash0, feat0, carry0, lm_state0, pm0)
             T_enc = enc.encoder_out.shape[1]
-            (scores, _, _, _, _), ys = jax.lax.scan(
+            (scores, _, _, _, _, _), ys = jax.lax.scan(
                 frame_step, init, jnp.arange(T_enc)
             )
 

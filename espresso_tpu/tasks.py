@@ -257,6 +257,7 @@ class SpeechRecognitionEspressoTask:
                 lm=lm,
                 lm_weight=lm_weight,
                 model_predicts_eos=gen_cfg.model_predicts_eos,
+                prefix_alpha=gen_cfg.prefix_alpha,
             )
         if crit == "ctc_loss":
             if gen_cfg.beam > 1:

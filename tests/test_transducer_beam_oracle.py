@@ -68,15 +68,53 @@ def _log_softmax(x):
     return e - math.log(np.exp(e).sum())
 
 
-def oracle_aes(model, frames, enc_len, K, beta, gamma, n_exp, blank=0):
+def oracle_prefix_merge(beam, enc_t, model, alpha):
+    """Reference prefix_search_and_merge semantics
+    (transducer_beam_search_decoder.py:465-486): for each pair where i is a
+    proper prefix of j (extension <= alpha), walk the joint over the
+    extension tokens and logaddexp the mass into j. Sources always use
+    pre-merge scores (the reference's sorted in-place loop guarantees it)."""
+    beam = sorted(beam, key=lambda h: -len(h["seq"]))
+    masses = [None] * len(beam)
+    for jx, hj in enumerate(beam):
+        for ix in range(jx + 1, len(beam)):
+            hi = beam[ix]
+            e = len(hj["seq"]) - len(hi["seq"])
+            if e <= 0 or (alpha is not None and e > alpha):
+                continue
+            if hj["seq"][: len(hi["seq"])] != hi["seq"]:
+                continue
+            mass = hi["score"]
+            feat, h = hi["feat"], hi["h"]
+            for p in range(len(hi["seq"]), len(hj["seq"])):
+                lp = _log_softmax(model.np_logits(enc_t, feat))
+                mass += lp[hj["seq"][p]]
+                feat, h = model.np_pred_step(hj["seq"][p], h)
+            masses[jx] = (
+                mass
+                if masses[jx] is None
+                else np.logaddexp(masses[jx], mass)
+            )
+    for jx, m in enumerate(masses):
+        if m is not None:
+            beam[jx]["score"] = float(np.logaddexp(beam[jx]["score"], m))
+    return beam
+
+
+def oracle_aes(
+    model, frames, enc_len, K, beta, gamma, n_exp, blank=0, prefix_alpha=0
+):
     """Reference AES for ONE utterance, mirroring the lockstep algorithm:
-    per frame, n_exp+1 rounds each ending in a (dedup'd) top-K blank merge,
-    with label expansion (top K+beta, gamma prune, keep K) between rounds."""
+    per frame, an optional prefix-search-and-merge, then n_exp+1 rounds each
+    ending in a (dedup'd) top-K blank merge, with label expansion (top
+    K+beta, gamma prune, keep K) between rounds."""
     V = model.V
     feat0, h0 = model.np_pred_step(blank, np.zeros(D, np.float32))
     beam = [{"seq": (), "score": 0.0, "feat": feat0, "h": h0}]
     for t in range(enc_len):
         enc_t = frames[t]
+        if prefix_alpha:
+            beam = oracle_prefix_merge(beam, enc_t, model, prefix_alpha)
         pool = []  # list of hyp dicts, kept <= K
         exp = [dict(h) for h in beam]
         for j in range(n_exp + 1):
@@ -133,8 +171,11 @@ def oracle_aes(model, frames, enc_len, K, beta, gamma, n_exp, blank=0):
     return sorted(beam, key=lambda h: -h["score"])
 
 
-@pytest.mark.parametrize("n_exp", [1, 2])
-def test_aes_matches_bruteforce_oracle(n_exp):
+@pytest.mark.parametrize(
+    "n_exp,prefix_alpha",
+    [(1, 0), (1, 1), (2, 1), (2, 2), (2, 3)],
+)
+def test_aes_matches_bruteforce_oracle(n_exp, prefix_alpha):
     V, K, beta, gamma = 7, 3, 2, 6.0
     model = TinyRNNT(V, seed=3)
     rng = np.random.default_rng(5)
@@ -154,6 +195,7 @@ def test_aes_matches_bruteforce_oracle(n_exp):
         expansion_beta=beta,
         expansion_gamma=gamma,
         max_num_expansions_per_step=n_exp,
+        prefix_alpha=prefix_alpha,
     )
     out = dec.decode(
         {"params": {"dummy": jnp.zeros(1)}},
@@ -162,7 +204,8 @@ def test_aes_matches_bruteforce_oracle(n_exp):
 
     for b in range(B):
         ref = oracle_aes(
-            model, frames[b], int(lengths[b]), K, beta, gamma, n_exp
+            model, frames[b], int(lengths[b]), K, beta, gamma, n_exp,
+            prefix_alpha=prefix_alpha,
         )
         got = out[b]
         assert len(got) == len(ref), (b, len(got), len(ref))
