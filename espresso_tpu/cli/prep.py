@@ -11,6 +11,9 @@ Subcommands mirror the reference scripts, keeping their IO formats:
   * ``wav2num_frames``   — wav2num_frames.py: Kaldi frame counts for waves
   * ``compute_wer``      — compute_wer.py: offline WER between ref/hyp files
   * ``estimate_state_prior`` — estimate_initial_state_prior_from_alignments.py
+  * ``binarize``         — fairseq-preprocess equivalent for LM text: encode
+    once into an mmap int32 token stream ({prefix}.bin/.idx,
+    data/indexed_dataset.py); the LM task then trains with O(batch) memory
 
 Usage: ``python -m espresso_tpu.cli.prep <subcommand> [args]``.
 """
@@ -234,9 +237,50 @@ def estimate_state_prior(argv):
     logger.info("wrote state prior (%d states) to %s", args.num_targets, args.output)
 
 
+def binarize(argv):
+    """Binarize LM text (one sentence per line) into {prefix}.bin/.idx
+    (fairseq-preprocess + MMapIndexedDataset equivalent,
+    fairseq/data/indexed_dataset.py)."""
+    p = argparse.ArgumentParser(prog="binarize")
+    p.add_argument("--text", required=True, help="input text file")
+    p.add_argument("--dict", required=True, help="dictionary file")
+    p.add_argument("--output-prefix", required=True)
+    p.add_argument("--no-append-eos", action="store_true")
+    args = p.parse_args(argv)
+
+    from espresso_tpu.data.dictionary import AsrDictionary
+    from espresso_tpu.data.indexed_dataset import (
+        MMapTokenDataset,
+        write_binarized,
+    )
+
+    dic = AsrDictionary.load(args.dict)
+
+    def seqs():
+        with open(args.text, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                yield dic.encode_line(
+                    line, append_eos=not args.no_append_eos
+                )
+
+    n = write_binarized(args.output_prefix, seqs())
+    ds = MMapTokenDataset(args.output_prefix)
+    logger.info(
+        "binarized %d sentences, %d tokens -> %s.bin",
+        n,
+        ds.total_tokens,
+        args.output_prefix,
+    )
+    return 0
+
+
 COMMANDS = {
     "asr_prep_json": asr_prep_json,
     "compute_cmvn": compute_cmvn,
+    "binarize": binarize,
     "text2token": text2token,
     "text2vocabulary": text2vocabulary,
     "wav2num_frames": wav2num_frames,

@@ -106,6 +106,10 @@ class DatasetConfig:
     # reference asr_dataset.py:369-382)
     batch_based_on_both_src_tgt: bool = False
     data_buffer_size: int = 4  # prefetch depth
+    # LM token-block packing over binarized {split}.bin/.idx streams
+    # (fairseq TokenBlockDataset: --tokens-per-sample / --sample-break-mode)
+    tokens_per_sample: int = 512
+    sample_break_mode: str = "none"  # none | complete | eos
 
 
 @dataclass

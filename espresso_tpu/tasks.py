@@ -427,10 +427,25 @@ class LanguageModelingForASRTask(SpeechRecognitionEspressoTask):
     def load_dataset(self, split: str):
         if split in self.datasets:
             return self.datasets[split]
-        from espresso_tpu.data.lm_dataset import LMTextDataset
+        prefix = os.path.join(self.cfg.dataset.data, split)
+        if os.path.exists(prefix + ".bin"):
+            # binarized mmap stream (cli/prep.py binarize): O(batch) memory,
+            # token-block packing (fairseq indexed_dataset +
+            # token_block_utils semantics)
+            from espresso_tpu.data.indexed_dataset import LMBlockDataset
 
-        path = os.path.join(self.cfg.dataset.data, f"{split}.txt")
-        ds = LMTextDataset(path, self.dictionary, tokenizer=self.tokenizer)
+            ds = LMBlockDataset(
+                prefix,
+                self.dictionary,
+                block_size=self.cfg.dataset.tokens_per_sample,
+                break_mode=self.cfg.dataset.sample_break_mode,
+            )
+        else:
+            from espresso_tpu.data.lm_dataset import LMTextDataset
+
+            ds = LMTextDataset(
+                prefix + ".txt", self.dictionary, tokenizer=self.tokenizer
+            )
         self.datasets[split] = ds
         return ds
 
