@@ -367,9 +367,25 @@ def load_config_dict(data: Dict[str, Any]) -> EspressoConfig:
     return cfg
 
 
+def _flatten_keys(data: Dict[str, Any], prefix: str = "") -> List[str]:
+    keys = []
+    for k, v in data.items():
+        path = f"{prefix}{k}"
+        if isinstance(v, dict) and v:
+            keys.extend(_flatten_keys(v, prefix=f"{path}."))
+        else:
+            keys.append(path)
+    return keys
+
+
 def parse_config(argv: List[str]) -> EspressoConfig:
-    """Parse ``[--config file.yaml] key.path=value ...`` into an EspressoConfig."""
+    """Parse ``[--config file.yaml] key.path=value ...`` into an EspressoConfig.
+
+    Every key the user explicitly set — through YAML or argv — is recorded
+    in ``cfg._explicit_keys`` so later passes (apply_saved_model_cfg) can
+    distinguish a deliberate value from a dataclass default."""
     cfg = EspressoConfig()
+    explicit: set = set()
     overrides: List[Tuple[str, Any]] = []
     i = 0
     while i < len(argv):
@@ -378,18 +394,22 @@ def parse_config(argv: List[str]) -> EspressoConfig:
             import yaml
 
             with open(argv[i + 1]) as f:
-                _merge_dict_into(cfg, yaml.safe_load(f) or {})
+                data = yaml.safe_load(f) or {}
+            _merge_dict_into(cfg, data)
+            explicit.update(_flatten_keys(data))
             i += 2
             continue
         if "=" in arg:
             key, _, value = arg.partition("=")
             key = key.lstrip("-").replace("-", "_")
             overrides.append((key, _coerce(value)))
+            explicit.add(key)
             i += 1
             continue
         raise ValueError(f"unrecognized argument {arg!r} (use key.path=value)")
     for key, value in overrides:
         _set_dotted(cfg, key, value)
+    cfg._explicit_keys = explicit
     return cfg
 
 
@@ -425,11 +445,18 @@ def apply_saved_model_cfg(cfg, argv: Optional[List[str]] = None):
                 dst[k] = v
 
     user_model = dict(cfg.model)
-    if user_model.get("name") == "speech_lstm" and not any(
-        (a.split("=", 1)[0].lstrip("-").replace("-", "_") == "model.name")
-        for a in (argv or [])
-        if "=" in a
-    ):
+    explicit = getattr(cfg, "_explicit_keys", None)
+    if explicit is not None:
+        # parse_config recorded every user-set key (YAML and argv alike):
+        # model.name deliberately set to the default sentinel still wins
+        name_overridden = "model.name" in explicit
+    else:  # cfg built programmatically — fall back to scanning argv
+        name_overridden = any(
+            (a.split("=", 1)[0].lstrip("-").replace("-", "_") == "model.name")
+            for a in (argv or [])
+            if "=" in a
+        )
+    if user_model.get("name") == "speech_lstm" and not name_overridden:
         user_model.pop("name", None)
     overlay(section, user_model)
     cfg.model = section

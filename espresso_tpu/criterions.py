@@ -292,8 +292,10 @@ class Wav2Vec2Criterion:
         step=None,
     ):
         # Gumbel temperature anneal max(end, start*decay^update)
-        # (fairseq wav2vec2 latent_temp); constant start temp when the
-        # caller provides no update counter (eval)
+        # (fairseq wav2vec2 latent_temp). Eval calls carry no update
+        # counter; use the annealed floor so validation contrastive loss is
+        # comparable to late-training loss (the reference evaluates at the
+        # current annealed temperature)
         if step is not None:
             temp = jnp.maximum(
                 self.cfg.gumbel_temp_end,
@@ -301,7 +303,7 @@ class Wav2Vec2Criterion:
                 * self.cfg.gumbel_temp_decay ** step.astype(jnp.float32),
             )
         else:
-            temp = self.cfg.gumbel_temp_start
+            temp = self.cfg.gumbel_temp_end
         out = model.apply(
             variables,
             batch["src_frames"],

@@ -57,43 +57,48 @@ class EspressoHubInterface:
         saved_data = self.cfg.dataset.data
         self.task.datasets.pop("hub", None)
         self.cfg.dataset.data = tmpdir
-        try:
-            ds = self.task.load_dataset("hub")
-        finally:
-            self.cfg.dataset.data = saved_data
-            self._tmpdir = tmpdir  # removed after decode below
-        itr = self.task.get_batch_iterator(
-            ds,
-            self.cfg.dataset.max_tokens,
-            self.cfg.dataset.batch_size or 8,
-            shuffle=False,
-        ).next_epoch_itr()
         results: Dict[str, List[str]] = {}
-        for group in itr:
-            for i in range(group["prev_output_tokens"].shape[0]):
-                mb = {
-                    k: v[i]
-                    for k, v in group.items()
-                    if isinstance(v, np.ndarray)
-                }
-                dec = self._prepare({k: jnp.asarray(v) for k, v in mb.items()})
-                dec = {
-                    k: np.asarray(v) if hasattr(v, "shape") else v
-                    for k, v in dec.items()
-                }
-                hypos = self.generator.decode(self.variables, dec)
-                for b, hyp_list in enumerate(hypos):
-                    if mb["weight"][b] <= 0:
-                        continue
-                    utt_id = group["utt_ids"][i][b]
-                    results[utt_id] = [
-                        self.dictionary.tokens_to_sentence(
-                            self.dictionary.string(h["tokens"])
-                        )
-                        for h in hyp_list[:nbest]
-                    ]
-        shutil.rmtree(tmpdir, ignore_errors=True)
-        self.task.datasets.pop("hub", None)
+        try:
+            try:
+                ds = self.task.load_dataset("hub")
+            finally:
+                self.cfg.dataset.data = saved_data
+            itr = self.task.get_batch_iterator(
+                ds,
+                self.cfg.dataset.max_tokens,
+                self.cfg.dataset.batch_size or 8,
+                shuffle=False,
+            ).next_epoch_itr()
+            for group in itr:
+                for i in range(group["prev_output_tokens"].shape[0]):
+                    mb = {
+                        k: v[i]
+                        for k, v in group.items()
+                        if isinstance(v, np.ndarray)
+                    }
+                    dec = self._prepare(
+                        {k: jnp.asarray(v) for k, v in mb.items()}
+                    )
+                    dec = {
+                        k: np.asarray(v) if hasattr(v, "shape") else v
+                        for k, v in dec.items()
+                    }
+                    hypos = self.generator.decode(self.variables, dec)
+                    for b, hyp_list in enumerate(hypos):
+                        if mb["weight"][b] <= 0:
+                            continue
+                        utt_id = group["utt_ids"][i][b]
+                        results[utt_id] = [
+                            self.dictionary.tokens_to_sentence(
+                                self.dictionary.string(h["tokens"])
+                            )
+                            for h in hyp_list[:nbest]
+                        ]
+        finally:
+            # an exception mid-decode must not leak the tmpdir or leave the
+            # 'hub' dataset cached on the task
+            shutil.rmtree(tmpdir, ignore_errors=True)
+            self.task.datasets.pop("hub", None)
         if nbest == 1:
             return [results.get(u, [""])[0] for u in ids]
         return [results.get(u, []) for u in ids]

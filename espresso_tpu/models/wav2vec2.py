@@ -72,6 +72,9 @@ class Wav2Vec2Config:
     logit_temp: float = 0.1
     final_dim: int = 256
     pad_index: int = 1
+    # scale gradients flowing into the conv extractor (reference
+    # wav2vec2 feature_grad_mult; base recipe uses 0.1)
+    feature_grad_mult: float = 0.1
 
 
 def _conv_out_length(length, kernel: int, stride: int):
@@ -255,6 +258,11 @@ class Wav2Vec2Model(nn.Module):
 
     def features(self, wav: jnp.ndarray, num_samples: jnp.ndarray, train=False):
         feats = self.extractor(wav, train=train)  # [B, T, C]
+        gm = self.cfg.feature_grad_mult
+        if train and gm != 1.0:
+            # forward value unchanged; backward into the extractor scaled
+            # by gm (reference feature_grad_mult, GradMultiply)
+            feats = feats * gm + jax.lax.stop_gradient(feats * (1.0 - gm))
         lengths = extractor_output_lengths(self.cfg.conv_layers, num_samples)
         lengths = jnp.minimum(lengths, feats.shape[1])
         return feats, lengths
@@ -318,6 +326,13 @@ class Wav2Vec2Model(nn.Module):
 
         pos_logit = cos(cx, y)[..., None]  # [B,T,1]
         neg_logit = cos(cx[:, :, None, :], negs)  # [B,T,K]
+        # neg_is_pos masking (reference wav2vec2.py:544-560): sampling
+        # excludes the positive's INDEX, but early in VQ training distinct
+        # frames often quantize to the same codeword — a negative whose
+        # quantized vector equals the positive is not a wrong class and must
+        # not receive contrastive gradient; mask its logit to -inf
+        neg_is_pos = (y[:, :, None, :] == negs).all(-1)  # [B,T,K]
+        neg_logit = jnp.where(neg_is_pos, -jnp.inf, neg_logit)
         logits = (
             jnp.concatenate([pos_logit, neg_logit], axis=-1) / cfg.logit_temp
         )
