@@ -354,7 +354,9 @@ def _merge_dict_into(cfg: Any, data: Dict[str, Any], prefix: str = "") -> None:
             getattr(cfg, key, None) if not isinstance(cfg, dict) else cfg.get(key),
             (str, int, float, list),
         ):
-            target = cfg[key] if isinstance(cfg, dict) else getattr(cfg, key, None)
+            target = (
+                cfg.get(key) if isinstance(cfg, dict) else getattr(cfg, key, None)
+            )
             if dataclasses.is_dataclass(target) or isinstance(target, dict):
                 _merge_dict_into(target, value, prefix=f"{path}.")
                 continue

@@ -9,12 +9,31 @@ set -euo pipefail
 stage=0
 stop_stage=100
 data=${data:-data}            # {split}/feats.scp,text or {split}/wav.scp
-exp=${exp:-exp/lstm_librispeech}
+# model selector (reference run.sh use_transformer/apply_specaug flags):
+#   lstm | lstm_specaug | transformer | transformer_ctc | conformer_transducer
+model=${model:-lstm}
+exp=${exp:-exp/${model}_librispeech}
 train_set=train_960
 valid_set=dev
 test_sets="test_clean test_other"
 lm_epochs=30
-asr_config=examples/asr_librispeech/lstm_librispeech.yaml
+case ${model} in
+  lstm) asr_config=examples/asr_librispeech/lstm_librispeech.yaml
+        lm_weight=0.47 ;;
+  lstm_specaug)
+        asr_config=examples/asr_librispeech/lstm_specaug_librispeech.yaml
+        lm_weight=0.4 ;;
+  transformer)
+        asr_config=examples/asr_librispeech/transformer_librispeech.yaml
+        lm_weight=0.4 ;;
+  transformer_ctc)
+        asr_config=examples/asr_librispeech/transformer_ctc_librispeech.yaml
+        lm_weight=0.0 ;;
+  conformer_transducer)
+        asr_config=examples/asr_librispeech/conformer_transducer_librispeech.yaml
+        lm_weight=0.0 ;;
+  *) echo "unknown model ${model}"; exit 1 ;;
+esac
 
 . ./parse_options.sh 2>/dev/null || true
 
@@ -68,14 +87,18 @@ if [ ${stage} -le 5 ] && [ ${stop_stage} -ge 5 ]; then
   python -m espresso_tpu.cli.average_checkpoints \
     --inputs ${exp}/asr --num-epoch-checkpoints 5 \
     --output ${exp}/asr/checkpoint_avg || true
+  lm_opts=""
+  if [ "${lm_weight}" != "0.0" ]; then
+    # shallow fusion (reference run.sh:271-279; 0.4 with specaug, 0.47 else)
+    lm_opts="generation.lm_path=${exp}/lm generation.lm_weight=${lm_weight} generation.eos_factor=1.5"
+  fi
   for split in ${test_sets}; do
-    python -m espresso_tpu.cli.speech_recognize \
+    python -m espresso_tpu.cli.speech_recognize --config ${asr_config} \
       dataset.data=${data} dataset.gen_subset=${split} \
       dataset.global_cmvn_stats_path=${data}/gcmvn.npz \
       checkpoint.save_dir=${exp}/asr \
-      generation.beam=60 generation.max_len_a=0.08 \
-      generation.eos_factor=1.5 \
-      generation.lm_path=${exp}/lm generation.lm_weight=0.47 \
+      generation.max_len_a=0.08 \
+      ${lm_opts} \
       generation.results_path=${exp}/decode_${split}
     echo "--- ${split} ---"; cat ${exp}/decode_${split}/wer
   done
