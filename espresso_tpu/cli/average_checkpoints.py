@@ -22,7 +22,7 @@ import sys
 import jax
 import numpy as np
 
-logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+logging.basicConfig(level=logging.INFO, stream=sys.stdout, force=True)
 logger = logging.getLogger("espresso_tpu.average_checkpoints")
 
 

@@ -33,7 +33,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+logging.basicConfig(level=logging.INFO, stream=sys.stdout, force=True)
 logger = logging.getLogger("espresso_tpu.convert")
 
 

@@ -41,6 +41,7 @@ def main(argv=None):
         level=logging.INFO,
         format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
         stream=sys.stdout,
+        force=True,  # orbax installs a root handler at import; override it
     )
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
     from espresso_tpu.config import apply_saved_model_cfg

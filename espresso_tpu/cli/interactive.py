@@ -65,6 +65,7 @@ def main(argv=None) -> int:
         level=logging.INFO,
         format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
         stream=sys.stderr,
+        force=True,  # orbax installs a root handler at import; override it
     )
     argv = list(argv if argv is not None else sys.argv[1:])
     input_path: Optional[str] = None

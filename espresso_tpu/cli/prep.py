@@ -32,6 +32,7 @@ logging.basicConfig(
     format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
     level=logging.INFO,
     stream=sys.stdout,
+    force=True,  # orbax installs a root handler at import; override it
 )
 logger = logging.getLogger("espresso_tpu.prep")
 

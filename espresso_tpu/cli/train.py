@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import logging
 import os
+import signal
 import sys
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -148,12 +150,33 @@ def _print_training_sample(model, state, task, group, num_updates):
     logger.info("sample PRD: %s", prd)
 
 
+# set by the SIGTERM handler; the step loop checks it between updates and
+# saves checkpoint_last before a clean exit (preemption-aware save)
+_PREEMPT = threading.Event()
+
+
+def _install_preemption_handler() -> None:
+    if threading.current_thread() is not threading.main_thread():
+        return
+
+    def _on_sigterm(signum, frame):
+        _PREEMPT.set()
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except (ValueError, OSError):  # non-main thread / restricted env
+        pass
+
+
 def main(argv=None) -> Dict[str, float]:
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
         stream=sys.stdout,
+        force=True,  # orbax installs a root handler at import; override it
     )
+    _PREEMPT.clear()
+    _install_preemption_handler()
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
     np.random.seed(cfg.common.seed)
     if cfg.common.debug_nans:
@@ -287,6 +310,18 @@ def main(argv=None) -> Dict[str, float]:
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
         )
         state, host_state = load_checkpoint_state(restore, abstract)
+        # orbax restores committed single-device arrays; decommit to host
+        # and re-apply the same mesh placement as fresh init, else the
+        # sharded train step sees mixed device sets (the fsdp opt_state
+        # stays uncommitted so XLA's sharding propagation lays it out)
+        state = jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), state)
+        state = state.replace(
+            params=jax.device_put(state.params, param_shardings),
+            batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+            opt_state=jax.device_put(state.opt_state, replicated(mesh))
+            if not cfg.distributed.fsdp
+            else state.opt_state,
+        )
         logger.info("restored checkpoint from %s", restore)
         if not cfg.checkpoint.reset_dataloader and "iterator" in host_state:
             train_itr.load_state_dict(host_state["iterator"])
@@ -395,6 +430,11 @@ def main(argv=None) -> Dict[str, float]:
         raise
     finally:
         hb.stop()
+        # await-at-exit for async checkpoint writes
+        # (reference fairseq_cli/train.py:210-217)
+        from espresso_tpu.train.checkpoint import wait_for_async_saves
+
+        wait_for_async_saves()
 
     logger.info("done training at %d updates", num_updates)
     return final_stats
@@ -460,6 +500,28 @@ def _train_loop(
             metrics_n = 0
 
         for group in epoch_itr:
+            if _PREEMPT.is_set():
+                # preemption-aware save (SURVEY §5: TPU preemption sends
+                # SIGTERM): persist checkpoint_last with the mid-epoch
+                # iterator position and exit cleanly for scheduler resume
+                _flush_metrics()
+                if not cfg.checkpoint.no_save:
+                    from espresso_tpu.train.checkpoint import (
+                        save_checkpoint_state,
+                    )
+
+                    save_checkpoint_state(
+                        os.path.join(
+                            cfg.checkpoint.save_dir, "checkpoint_last"
+                        ),
+                        state,
+                        {"iterator": train_itr.state_dict()},
+                    )
+                logger.info(
+                    "SIGTERM: saved checkpoint_last at %d updates, exiting",
+                    num_updates,
+                )
+                return state, num_updates, final_stats
             dev_batch = put_batch(group, bsharding)
             rng, step_rng = jax.random.split(rng)
             if ss_prob is not None:

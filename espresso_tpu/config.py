@@ -142,6 +142,10 @@ class CheckpointConfig:
     patience: int = -1
     reset_dataloader: bool = False
     reset_optimizer: bool = False
+    # background checkpoint writes (reference --write-checkpoints-
+    # asynchronously, checkpoint_utils.py:549-577): the device->host copy is
+    # synchronous, the disk write is not; awaited at train end
+    write_checkpoints_asynchronously: bool = False
 
 
 @dataclass

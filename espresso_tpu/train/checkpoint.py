@@ -32,17 +32,48 @@ def _ckpt_path(save_dir: str, name: str) -> str:
     return os.path.join(os.path.abspath(save_dir), name)
 
 
-def save_checkpoint_state(path: str, state, host_state: Dict[str, Any]) -> None:
+# in-flight async writers (reference checkpoint_utils.py:549-577 keeps a
+# background iopath thread and awaits it at train end)
+_ASYNC_CKPTRS: List[Any] = []
+
+
+def wait_for_async_saves() -> None:
+    """Block until every pending async checkpoint write finishes (the
+    reference's await-at-exit, fairseq_cli/train.py:210-217)."""
+    while _ASYNC_CKPTRS:
+        ckptr = _ASYNC_CKPTRS.pop()
+        try:
+            ckptr.wait_until_finished()
+        finally:
+            ckptr.close()
+
+
+def save_checkpoint_state(
+    path: str, state, host_state: Dict[str, Any], async_write: bool = False
+) -> None:
     path = os.path.abspath(path)
+    # never overwrite a directory an earlier async write may still be
+    # finalizing; draining is cheap when the previous write already landed
+    wait_for_async_saves()
     if os.path.exists(path):
         shutil.rmtree(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"), state)
+    if async_write:
+        # device->host copy happens before save() returns; only the disk
+        # write runs in the background, so the train loop's donated state
+        # buffers are safe to reuse immediately
+        ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        ckptr.save(os.path.join(path, "state"), args=ocp.args.StandardSave(state))
+        _ASYNC_CKPTRS.append(ckptr)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(path, "state"), state)
+    os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "host_state.json"), "w") as f:
         json.dump(host_state, f)
 
 
 def load_checkpoint_state(path: str, abstract_state):
+    wait_for_async_saves()
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(os.path.join(path, "state"), abstract_state)
@@ -67,6 +98,9 @@ class CheckpointManager:
             else self.cfg.maximize_best_checkpoint_metric
         )
         self.best: Optional[float] = None
+        self.async_write = getattr(
+            self.cfg, "write_checkpoints_asynchronously", False
+        )
         os.makedirs(self.save_dir, exist_ok=True)
 
     def _is_better(self, metric: float) -> bool:
@@ -93,7 +127,10 @@ class CheckpointManager:
             self.best = val_metric
             host_state["best"] = self.best
             save_checkpoint_state(
-                _ckpt_path(self.save_dir, "checkpoint_best"), state, host_state
+                _ckpt_path(self.save_dir, "checkpoint_best"),
+                state,
+                host_state,
+                async_write=self.async_write,
             )
             saved.append("checkpoint_best")
         if val_metric is not None and cfg.keep_best_checkpoints > 0:
@@ -101,7 +138,10 @@ class CheckpointManager:
             # (reference checkpoint.best_{metric}_{value} naming, :35-186)
             name = f"checkpoint_best_{val_metric:.4f}_{epoch}"
             save_checkpoint_state(
-                _ckpt_path(self.save_dir, name), state, host_state
+                _ckpt_path(self.save_dir, name),
+                state,
+                host_state,
+                async_write=self.async_write,
             )
             saved.append(name)
             best_ckpts = []
@@ -117,7 +157,10 @@ class CheckpointManager:
         if end_of_epoch and cfg.save_interval > 0 and epoch % cfg.save_interval == 0:
             name = f"checkpoint{epoch}"
             save_checkpoint_state(
-                _ckpt_path(self.save_dir, name), state, host_state
+                _ckpt_path(self.save_dir, name),
+                state,
+                host_state,
+                async_write=self.async_write,
             )
             saved.append(name)
         if (
@@ -127,11 +170,17 @@ class CheckpointManager:
         ):
             name = f"checkpoint_{epoch}_{updates}"
             save_checkpoint_state(
-                _ckpt_path(self.save_dir, name), state, host_state
+                _ckpt_path(self.save_dir, name),
+                state,
+                host_state,
+                async_write=self.async_write,
             )
             saved.append(name)
         save_checkpoint_state(
-            _ckpt_path(self.save_dir, "checkpoint_last"), state, host_state
+            _ckpt_path(self.save_dir, "checkpoint_last"),
+            state,
+            host_state,
+            async_write=self.async_write,
         )
         saved.append("checkpoint_last")
         self._prune()
