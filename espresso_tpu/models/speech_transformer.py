@@ -174,9 +174,10 @@ class SpeechTransformerEncoder(nn.Module):
         )(src_frames, src_lengths, train=train)
         x = nn.Dense(cfg.encoder_embed_dim, name="fc0")(x)  # reference :79
         T = x.shape[1]
-        # embed_scale applies in every positional mode (reference
-        # speech_transformer_encoder.py:344)
-        x = x * (cfg.encoder_embed_dim ** 0.5)
+        # no embed_scale: the reference forces embed_scale=1.0 whenever fc0
+        # is present (speech_transformer_encoder.py:81-86), and our fc0 is
+        # unconditional — scaling here would break checkpoint-conversion
+        # parity (tests/test_convert.py full-model logits test)
         rel_pos = None
         if cfg.encoder_pos_type == "abs":
             x = x + sinusoidal_positions(T, cfg.encoder_embed_dim)

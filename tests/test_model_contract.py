@@ -220,7 +220,13 @@ def test_model_contract(name):
         assert logits.shape[0] == B and logits.shape[-1] == V
         assert np.isfinite(np.asarray(logits)).all()
     elif isinstance(out, dict):
-        assert np.isfinite(np.asarray(out["logits"])).all()
+        # wav2vec2 contrastive logits: row 0 is the positive (must be
+        # finite); negative rows may be exactly -inf where the sampled
+        # negative's quantized vector collides with the positive (the
+        # reference's neg_is_pos masking, fairseq wav2vec2.py:544-560)
+        logits = np.asarray(out["logits"])
+        assert not np.isnan(logits).any()
+        assert np.isfinite(logits[..., 0]).all()
     # encode() contract
     if hasattr(model, "encode"):
         enc = model.apply(variables, src, lengths, method="encode")
