@@ -81,6 +81,10 @@ def main(argv=None):
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
+    if cfg.common.dtype == "bfloat16":
+        from espresso_tpu.train.trainer import cast_floats
+
+        variables = cast_floats(variables, jnp.bfloat16)
 
     # state prior (reference :83-115)
     log_prior = None

@@ -72,6 +72,13 @@ def load_model_for_decoding(cfg: EspressoConfig, task):
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
+    if cfg.common.dtype == "bfloat16":
+        # bf16 decode: eval-only, so the whole tree (incl. batchnorm
+        # running stats, used elementwise) can drop to bf16; softmaxes and
+        # beam scores stay fp32 inside the decoders
+        from espresso_tpu.train.trainer import cast_floats
+
+        variables = cast_floats(variables, jnp.bfloat16)
     return model, variables
 
 

@@ -41,3 +41,21 @@ jax.tree_util.register_pytree_node(
     lambda e: ((e.encoder_out, e.encoder_padding_mask, e.src_lengths), None),
     lambda _, c: EncoderOut(*c),
 )
+
+
+def bound_param_dtype(mod, default=jnp.float32):
+    """Compute dtype of a bound module's float params.
+
+    Under mixed precision the trainer passes a bf16-cast param tree; scan
+    carries (LSTM hidden/cell state, input feed) must be initialized in the
+    same dtype or the recurrent matmuls silently promote to fp32 (and
+    lax.scan rejects a carry whose dtype changes). Returns ``default`` when
+    the module is unbound or params are not yet created (init time)."""
+    try:
+        params = mod.variables.get("params", {})
+    except Exception:
+        return default
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return default

@@ -14,6 +14,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from espresso_tpu.models.base import bound_param_dtype
 from espresso_tpu.models.speech_lstm import (
     SpeechLSTMConfig,
     scanned_decoder_step,
@@ -70,7 +71,7 @@ class LSTMLanguageModel(nn.Module):
         self, prev_output_tokens: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         B, U = prev_output_tokens.shape
-        carry = self.init_carry(B)
+        carry = self.init_carry(B, dtype=bound_param_dtype(self))
         tokens_tm = jnp.moveaxis(prev_output_tokens, 1, 0)
         dummy_enc = jnp.zeros((B, 1, 1))
         dummy_mask = jnp.ones((B, 1), bool)

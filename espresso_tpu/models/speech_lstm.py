@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from espresso_tpu.models.base import EncoderOut
+from espresso_tpu.models.base import EncoderOut, bound_param_dtype
 from espresso_tpu.modules.conv_frontend import ConvFrontend
 from espresso_tpu.modules.lstm import LSTM, lstm_gates
 from espresso_tpu.modules.speech_attention import BahdanauAttention, LuongAttention
@@ -255,7 +255,11 @@ class SpeechLSTMModel(nn.Module):
         ss_prob: float = 1.0,
     ):
         B, U = prev_output_tokens.shape
-        carry = self.init_decoder_carry(B)
+        cdtype = (
+            enc.encoder_out.dtype if enc is not None
+            else bound_param_dtype(self)
+        )
+        carry = self.init_decoder_carry(B, dtype=cdtype)
         tokens_tm = jnp.moveaxis(prev_output_tokens, 1, 0)  # [U, B]
         ss_active = not isinstance(ss_prob, (int, float)) or ss_prob < 1.0
         if ss_active and train:

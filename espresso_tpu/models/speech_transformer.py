@@ -180,14 +180,14 @@ class SpeechTransformerEncoder(nn.Module):
         # parity (tests/test_convert.py full-model logits test)
         rel_pos = None
         if cfg.encoder_pos_type == "abs":
-            x = x + sinusoidal_positions(T, cfg.encoder_embed_dim)
+            x = x + sinusoidal_positions(T, cfg.encoder_embed_dim).astype(x.dtype)
         elif cfg.encoder_pos_type == "relative":
             rel_pos = RelativePositionalEmbedding(
                 cfg.encoder_embed_dim,
                 max_size=cfg.encoder_relative_max_size,
                 learned=cfg.encoder_learned_pos,
                 name="rel_pos",
-            )(T)
+            )(T).astype(x.dtype)
         if cfg.dropout > 0.0 and train:
             x = nn.Dropout(rate=cfg.dropout)(x, deterministic=False)
 
@@ -495,7 +495,7 @@ class SpeechTransformerModel(nn.Module):
         cfg = self.cfg
         B, U = prev_output_tokens.shape
         x = self.embed_tokens(prev_output_tokens) * (cfg.decoder_embed_dim ** 0.5)
-        x = x + sinusoidal_positions(U, cfg.decoder_embed_dim)
+        x = x + sinusoidal_positions(U, cfg.decoder_embed_dim).astype(x.dtype)
         if cfg.dropout > 0.0 and train:
             x = self.drop_dec(x, deterministic=False)
         causal = jnp.where(
@@ -550,7 +550,7 @@ class SpeechTransformerModel(nn.Module):
         )
         x = x + jax.lax.dynamic_slice(
             pos_table, (step_index, 0), (1, cfg.decoder_embed_dim)
-        )[None]
+        )[None].astype(x.dtype)
         new_cache = []
         attn = None
         for j, (layer, layer_cache) in enumerate(

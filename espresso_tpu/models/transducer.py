@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from espresso_tpu.models.base import EncoderOut
+from espresso_tpu.models.base import EncoderOut, bound_param_dtype
 from espresso_tpu.models.speech_lstm import (
     SpeechLSTMConfig,
     scanned_decoder_step,
@@ -136,7 +136,7 @@ class TransducerModel(nn.Module):
         """Prediction-network features for all steps: [B, U, H] (the
         reference feeds decoder.extract_features into the joint, :203-217)."""
         B, U = prev_output_tokens.shape
-        carry = self.init_pred_carry(B)
+        carry = self.init_pred_carry(B, dtype=bound_param_dtype(self))
         tokens_tm = jnp.moveaxis(prev_output_tokens, 1, 0)
         dummy_enc = jnp.zeros((B, 1, 1))
         dummy_mask = jnp.ones((B, 1), bool)

@@ -183,7 +183,7 @@ class TransformerLanguageModel(nn.Module):
         cfg = self.cfg
         B, U = prev_output_tokens.shape
         x = self.embed(prev_output_tokens) * (cfg.embed_dim ** 0.5)
-        x = x + self._positions(U)[None]
+        x = x + self._positions(U)[None].astype(x.dtype)
         if cfg.dropout > 0.0 and train:
             x = self.drop(x, deterministic=False)
         causal = jnp.where(
@@ -237,7 +237,7 @@ class TransformerLanguageModel(nn.Module):
         x = self.embed(tokens)[:, None, :] * (cfg.embed_dim ** 0.5)
         table = self._pos_table()
         if table is not None:
-            x = x + jnp.take(table, idx, axis=0, mode="clip")[:, None, :]
+            x = x + jnp.take(table, idx, axis=0, mode="clip")[:, None, :].astype(x.dtype)
         new_caches = []
         for layer, cache in zip(self.lm_layers, caches):
             x, new_cache = layer(x, cache=cache, cache_index=idx)

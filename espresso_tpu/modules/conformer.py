@@ -64,7 +64,9 @@ class ConvolutionModule(nn.Module):
             padding="SAME",
         )(h)
         if self.norm_type == "batch":
-            h = nn.BatchNorm(use_running_average=not train)(h)
+            # fp32 running stats would promote everything downstream under
+            # bf16 mixed precision — re-anchor to the block's compute dtype
+            h = nn.BatchNorm(use_running_average=not train)(h).astype(h.dtype)
         else:
             h = nn.LayerNorm()(h)
         h = nn.swish(h)

@@ -45,6 +45,10 @@ class ConvFrontend(nn.Module):
             h = nn.relu(h)
         Bc, Tc, Fc, Cc = h.shape
         out = h.transpose(0, 1, 3, 2).reshape(Bc, Tc, Cc * Fc)
+        # re-anchor to the input (compute) dtype: BatchNorm's fp32 running
+        # stats otherwise promote the output — and every downstream matmul —
+        # to fp32 under bf16 mixed precision
+        out = out.astype(x.dtype)
         new_lengths = self.output_lengths(lengths)
         return out, new_lengths
 

@@ -43,13 +43,18 @@ def _pad_T(x, C):
 
 def _chunk_transitions(enc_chunk, dec_proj, fc_kernel, fc_bias, tgt, blank):
     """Joint over one chunk: enc_chunk [B, C, J] -> (lpb, lpl [B, C, U1],
-    pre [B, C, U1, J], lp [B, C, U1, V])."""
+    pre [B, C, U1, J], lp [B, C, U1, V]).
+
+    Matmuls run in the caller's dtype (bf16 under mixed precision — MXU
+    speed and half the HBM traffic for the [B, C, U1, *] tensors) with fp32
+    accumulation; the log-softmax and the downstream alpha/beta recursions
+    are fp32."""
     pre = jax.nn.relu(enc_chunk[:, :, None, :] + dec_proj[:, None, :, :])
     logits = (
         jnp.einsum(
             "bcuj,jv->bcuv", pre, fc_kernel, preferred_element_type=jnp.float32
         )
-        + fc_bias
+        + fc_bias.astype(jnp.float32)
     )
     lp = jax.nn.log_softmax(logits, axis=-1)
     lpb = lp[..., blank]
@@ -130,12 +135,15 @@ def rnnt_loss_fused(
     tgt = jnp.concatenate(
         [targets.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1
     )
-    enc_p, _ = _pad_T(enc_proj.astype(jnp.float32), chunk_size)
+    # keep the joint matmul inputs in the caller's dtype (bf16 under
+    # mixed precision); _chunk_transitions accumulates fp32 and the DP
+    # recursions run entirely in fp32
+    enc_p, _ = _pad_T(enc_proj, chunk_size)
     logZ, _ = _alpha_scan(
         enc_p,
-        dec_proj.astype(jnp.float32),
-        fc_kernel.astype(jnp.float32),
-        fc_bias.astype(jnp.float32),
+        dec_proj,
+        fc_kernel,
+        fc_bias,
         tgt,
         src_lengths,
         tgt_lengths,
@@ -166,10 +174,10 @@ def _fused_bwd(blank, chunk_size, res, g):
     ) = res
     C = chunk_size
     T = enc_proj.shape[1]
-    enc_p, T_pad = _pad_T(enc_proj.astype(jnp.float32), C)
-    dec_p = dec_proj.astype(jnp.float32)
-    W = fc_kernel.astype(jnp.float32)
-    bb = fc_bias.astype(jnp.float32)
+    enc_p, T_pad = _pad_T(enc_proj, C)
+    dec_p = dec_proj
+    W = fc_kernel
+    bb = fc_bias
     B, _, J = enc_p.shape
     U1 = dec_p.shape[1]
     V = fc_bias.shape[0]
@@ -249,11 +257,14 @@ def _fused_bwd(blank, chunk_size, res, g):
         sum_glp = g_lp.sum(axis=-1, keepdims=True)
         g_logits = g_lp - jnp.exp(lp) * sum_glp  # [B, C, U1, V]
         g_b = g_b + g_logits.sum(axis=(0, 1, 2))
+        # matmuls in the joint's dtype (bf16 under mixed precision),
+        # fp32 accumulation via preferred_element_type
+        g_log_mm = g_logits.astype(W.dtype)
         g_W = g_W + jnp.einsum(
-            "bcuj,bcuv->jv", pre, g_logits, preferred_element_type=jnp.float32
+            "bcuj,bcuv->jv", pre, g_log_mm, preferred_element_type=jnp.float32
         )
         g_pre = jnp.einsum(
-            "bcuv,jv->bcuj", g_logits, W, preferred_element_type=jnp.float32
+            "bcuv,jv->bcuj", g_log_mm, W, preferred_element_type=jnp.float32
         ) * (pre > 0)
         g_enc_c = g_pre.sum(axis=2)  # [B, C, J]
         g_dec = g_dec + g_pre.sum(axis=1)  # [B, U1, J]
@@ -261,9 +272,9 @@ def _fused_bwd(blank, chunk_size, res, g):
 
     init = (
         jnp.full((B, U1), NEG_INF),
-        jnp.zeros_like(dec_p),
-        jnp.zeros_like(W),
-        jnp.zeros_like(bb),
+        jnp.zeros(dec_p.shape, jnp.float32),  # grad accumulators stay fp32
+        jnp.zeros(W.shape, jnp.float32),
+        jnp.zeros(bb.shape, jnp.float32),
     )
     (beta0, g_dec, g_W, g_b), g_enc_chunks_rev = jax.lax.scan(
         chunk_bwd, init, jnp.arange(n_chunks - 1, -1, -1)

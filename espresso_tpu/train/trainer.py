@@ -235,6 +235,13 @@ def make_train_step(
             params = apply_quant_noise(
                 params, jax.random.fold_in(rng, 3), qn_p, qn_bs
             )
+        # true mixed precision: fp32 master params, bf16 compute copies.
+        # Without this cast flax's dtype promotion (fp32 params x bf16
+        # inputs -> fp32) silently ran every matmul in fp32 — measured
+        # 81 ms vs 33 ms for the 16-layer conformer fwd on v5e. Grads flow
+        # through the cast and accumulate fp32.
+        if compute_dtype != jnp.float32:
+            params = cast_floats(params, compute_dtype)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -367,7 +374,10 @@ def make_valid_step(model, criterion, cfg: EspressoConfig):
     prepare_features = make_device_feature_fn(cfg)
 
     def valid_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        variables = {"params": state.params}
+        params = state.params
+        if compute_dtype != jnp.float32:
+            params = cast_floats(params, compute_dtype)
+        variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         mb = prepare_features(dict(batch))

@@ -62,3 +62,29 @@ def test_fused_memory_shape_independence():
     )
     v = float(f(enc_proj, dec_proj))
     assert np.isfinite(v)
+
+
+def test_fused_bf16_inputs_close_to_f32():
+    """Mixed precision: bf16 joint-matmul inputs (the trainer's compute
+    dtype) must give loss values and upstream gradients close to the f32
+    path — DP recursions and grad accumulators stay f32 inside."""
+    enc_proj, dec_proj, W, b, targets, sl, tl = _setup(T=12, U=5, seed=9)
+
+    def loss(e, d, w, bb):
+        return rnnt_loss_fused(e, d, w, bb, targets, sl, tl, 0).sum()
+
+    v32, g32 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+        enc_proj, dec_proj, W, b
+    )
+    v16, g16 = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+        enc_proj.astype(jnp.bfloat16),
+        dec_proj.astype(jnp.bfloat16),
+        W.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+    )
+    # loss: relative error bounded by bf16 logit noise
+    assert abs(float(v16) - float(v32)) / abs(float(v32)) < 0.05
+    for a, c in zip(g32, g16):
+        a, c = np.asarray(a, np.float32), np.asarray(c, np.float32)
+        denom = np.abs(a).max() + 1e-6
+        assert np.abs(a - c).max() / denom < 0.1, np.abs(a - c).max() / denom

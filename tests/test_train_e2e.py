@@ -108,6 +108,38 @@ def test_train_transformer_ls_ce(tmp_path):
     assert np.isfinite(stats["loss"])
 
 
+def test_train_bf16_mixed_precision(tmp_path):
+    """common.dtype=bfloat16: bf16 compute with fp32 master params.
+    Training must converge comparably to fp32 (the params cast is inside
+    the jitted step; master params and grads accumulate fp32)."""
+    from espresso_tpu.cli.train import main
+
+    d = _corpus(tmp_path)
+    args = (
+        [f"dataset.data={d}", f"checkpoint.save_dir={d}/ckpt_bf16"]
+        + [a for a in BASE_ARGS if not a.startswith("common.dtype")]
+        + SMALL_LSTM
+        + ["common.dtype=bfloat16", "optimization.max_epoch=2"]
+    )
+    stats = main(args)
+    assert np.isfinite(stats["loss"])
+    assert stats["loss"] < 2.9  # learning, not just running
+    # master params stayed fp32 on disk
+    import jax
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        saved = ckptr.restore(
+            os.path.join(d, "ckpt_bf16", "checkpoint_last", "state")
+        )
+    leaf_dtypes = {
+        str(v.dtype)
+        for v in jax.tree_util.tree_leaves(saved["params"])
+        if hasattr(v, "dtype")
+    }
+    assert leaf_dtypes == {"float32"}, leaf_dtypes
+
+
 def test_train_ctc(tmp_path):
     from espresso_tpu.cli.train import main
 
