@@ -57,6 +57,10 @@ def analytic_flops(B, T, U, feat, d, ffn, layers, heads, J, V, pred_layers):
 
 def main():
     import jax
+
+    # hardware RNG for dropout masks (cfg.common.prng_impl default;
+    # threefry costs ~34 ms/step at this operating point)
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from espresso_tpu.config import EspressoConfig

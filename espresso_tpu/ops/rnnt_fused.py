@@ -155,11 +155,21 @@ def rnnt_loss_fused(
 
 def _fused_fwd(enc_proj, dec_proj, fc_kernel, fc_bias, targets, src_lengths,
                tgt_lengths, blank, chunk_size):
-    loss = rnnt_loss_fused(
-        enc_proj, dec_proj, fc_kernel, fc_bias, targets, src_lengths,
-        tgt_lengths, blank, chunk_size,
+    B = enc_proj.shape[0]
+    tgt = jnp.concatenate(
+        [targets.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1
     )
-    return loss, (enc_proj, dec_proj, fc_kernel, fc_bias, targets, src_lengths, tgt_lengths)
+    enc_p, _ = _pad_T(enc_proj, chunk_size)
+    logZ, alphas = _alpha_scan(
+        enc_p, dec_proj, fc_kernel, fc_bias, tgt, src_lengths, tgt_lengths,
+        blank, chunk_size,
+    )
+    # stash (logZ, alphas) — [T_pad, B, U1] fp32 is ~MBs, while re-running
+    # the alpha scan in the backward cost ~1/3 of the whole loss bwd
+    return -logZ, (
+        enc_proj, dec_proj, fc_kernel, fc_bias, targets, src_lengths,
+        tgt_lengths, logZ, alphas,
+    )
 
 
 def _fused_bwd(blank, chunk_size, res, g):
@@ -171,6 +181,8 @@ def _fused_bwd(blank, chunk_size, res, g):
         targets,
         src_lengths,
         tgt_lengths,
+        logZ,
+        alphas,
     ) = res
     C = chunk_size
     T = enc_proj.shape[1]
@@ -189,9 +201,6 @@ def _fused_bwd(blank, chunk_size, res, g):
     n_chunks = T_pad // C
     enc_chunks = enc_p.reshape(B, n_chunks, C, J)
 
-    logZ, alphas = _alpha_scan(
-        enc_p, dec_p, W, bb, tgt, src_lengths, tgt_lengths, blank, C
-    )
     alphas_chunks = alphas.reshape(n_chunks, C, B, U1)
 
     onehot_tgt = jax.nn.one_hot(tgt, V, dtype=jnp.float32)  # [B, U1, V]
