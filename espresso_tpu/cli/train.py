@@ -178,6 +178,9 @@ def main(argv=None) -> Dict[str, float]:
     _PREEMPT.clear()
     _install_preemption_handler()
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
+    if getattr(cfg.common, "prng_impl", None):
+        # must precede any key creation; keys carry their impl
+        jax.config.update("jax_default_prng_impl", cfg.common.prng_impl)
     np.random.seed(cfg.common.seed)
     if cfg.common.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -233,6 +236,7 @@ def main(argv=None) -> Dict[str, float]:
             {
                 "model_name": type(model).__name__,
                 "name": cfg.model.get("name"),
+                "criterion": cfg.criterion.name,
                 "config": _ctd(task.model_cfg),
             },
             f,

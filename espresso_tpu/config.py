@@ -37,6 +37,11 @@ class CommonConfig:
     aim_repo: Optional[str] = None  # reference --aim-repo
     # numeric precision of the compute path; params are kept fp32
     dtype: str = "bfloat16"  # float32 | bfloat16
+    # jax PRNG implementation for dropout/specaugment masks. threefry2x32
+    # is jax's default but costs ~25% of the conformer train step in mask
+    # generation on TPU; rbg uses the hardware RNG op (still
+    # deterministic per key, different draws than threefry)
+    prng_impl: str = "rbg"  # threefry2x32 | rbg | unsafe_rbg
     # rematerialisation policy for encoder layers: none | full | dots
     remat: str = "none"
     profile: bool = False  # jax.profiler trace of the first training steps
@@ -466,6 +471,21 @@ def apply_saved_model_cfg(cfg, argv: Optional[List[str]] = None):
         user_model.pop("name", None)
     overlay(section, user_model)
     cfg.model = section
+    # the criterion the model was trained with drives decoder selection
+    # (tasks.build_generator dispatches transducer/CTC/attention on it);
+    # restore it too so decode CLIs work without repeating criterion.name
+    saved_crit = blob.get("criterion")
+    crit_overridden = (
+        "criterion.name" in explicit
+        if explicit is not None
+        else any(
+            (a.split("=", 1)[0].lstrip("-").replace("-", "_") == "criterion.name")
+            for a in (argv or [])
+            if "=" in a
+        )
+    )
+    if saved_crit and not crit_overridden:
+        cfg.criterion.name = saved_crit
     return cfg
 
 
