@@ -472,11 +472,14 @@ class TransducerBeamSearchDecoder:
 
                     # ---- blank: candidates for the next frame -------------
                     bidx = jnp.arange(B)[:, None]
-                    # the merge kernel currently SIGABRTs this libtpu's
-                    # Mosaic backend at production shapes, so it stays
-                    # opt-in ("on+merge") / interpret-tested; the jnp merge
-                    # runs by default even on the fused path
-                    if fused_interpret or fused_mode == "on+merge":
+                    # single-kernel merge: on by default on the fused path
+                    # within the tested shape envelope (sublane-aligned B,
+                    # 2K lanes in one vreg; wider needs lane-dim slicing the
+                    # Mosaic layout pass miscompiles — see ops/decode_kernels
+                    # aes_merge docstring). "on+merge" forces it regardless.
+                    if fused_interpret or fused_mode == "on+merge" or (
+                        use_fused and B % 8 == 0 and 2 * K <= 128
+                    ):
                         # single-kernel merge round (dedup + top-K +
                         # bookkeeping) — the ~25 tiny [B, K] XLA ops below
                         # were pure launch overhead inside the scan

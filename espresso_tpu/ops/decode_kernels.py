@@ -317,31 +317,57 @@ def aes_merge(
 
     Returns (top_pool [B,K] f32, new_hash, new_ver, new_slot, from_pool
     [B,K] i32, src_slot [B,K] i32) with tie behavior identical to the jnp
-    path (first-occurrence/stable)."""
+    path (first-occurrence/stable).
+
+    Mosaic layout constraints shape the implementation: at narrow lane
+    widths (2K << 128) the ApplyVectorLayout pass miscompiles lane-dim
+    strided slices/concats (libtpu check failure ``limits[i] <= dim(i)``
+    in vector_extract_strided_slice), so the pool/expansion concats happen
+    HOST-side (XLA), every column extract is a one-hot mask-reduce, and
+    each output is accumulated full-width in registers and stored exactly
+    once — the kernel contains no lane-dim slicing at all."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, K = pool_scores.shape
     K2 = 2 * K
 
-    def gather2k(tab, idx):  # idx [B,1] -> value [B,1] (one-hot reduce)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (B, K2), 1) == idx
-        )
-        return jnp.sum(jnp.where(onehot, tab, 0), axis=1, keepdims=True)
+    # host-side (XLA) concats: the kernel sees pre-merged [B, 2K] tables.
+    # slot table for expansion columns is the column's own source slot;
+    # version table for expansion columns is the current round index.
+    merged_in = jnp.concatenate(
+        [pool_scores.astype(jnp.float32), blank_scores.astype(jnp.float32)],
+        axis=1,
+    )
+    hashes_in = jnp.concatenate(
+        [pool_hash.astype(jnp.int32), exp_hash.astype(jnp.int32)], axis=1
+    )
+    exp_cols = jnp.arange(K, dtype=jnp.int32)[None, :].repeat(B, 0)
+    ver_in = jnp.concatenate(
+        [pool_ver.astype(jnp.int32), jnp.full((B, K), round_j, jnp.int32)],
+        axis=1,
+    )
+    slot_in = jnp.concatenate([pool_slot.astype(jnp.int32), exp_cols], axis=1)
 
-    def kernel(ps_ref, bs_ref, ph_ref, eh_ref, pv_ref, psl_ref,
+    def kernel(ms_ref, mh_ref, mv_ref, msl_ref,
                top_ref, nh_ref, nv_ref, ns_ref, fp_ref, ss_ref):
-        merged = jnp.concatenate([ps_ref[:], bs_ref[:]], axis=1)  # [B,2K]
-        hashes = jnp.concatenate([ph_ref[:], eh_ref[:]], axis=1)
+        merged = ms_ref[:]  # [B, 2K]
+        hashes = mh_ref[:]
+        vers = mv_ref[:]
+        slots = msl_ref[:]
         cols = jax.lax.broadcasted_iota(jnp.int32, (B, K2), 1)
         live = merged > NEG_INF / 2
         eff = jnp.where(live, hashes, -(cols + 1))
+
+        def col_val(tab, colmask):  # one-hot extract -> [B, 1]
+            return jnp.sum(jnp.where(colmask, tab, 0), axis=1, keepdims=True)
+
         # exact duplicate merge: for each column, logaddexp all equal-hash
         # scores; only the first occurrence keeps the combined score
         dedup = jnp.full((B, K2), NEG_INF, jnp.float32)
         for c in range(K2):
-            eq = eff == eff[:, c : c + 1]
+            colmask = cols == c
+            eq = eff == col_val(eff, colmask)
             vals = jnp.where(eq, merged, NEG_INF)
             m = jnp.max(vals, axis=1, keepdims=True)
             comb = m + jnp.log(
@@ -349,38 +375,46 @@ def aes_merge(
             )
             comb = jnp.where(m > NEG_INF / 2, comb, NEG_INF)
             first = jnp.min(jnp.where(eq, cols, K2), axis=1, keepdims=True)
-            keep = first == c
-            dedup = jnp.where(
-                (cols == c) & keep, comb, dedup
-            )
-        # stable top-K (max + first-occurrence mask)
+            dedup = jnp.where(colmask & (first == c), comb, dedup)
+
+        # stable top-K (max + first-occurrence mask); outputs accumulate
+        # full-width via kcol masks and store once after the loop
+        kcols = jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+        top_acc = jnp.full((B, K), NEG_INF, jnp.float32)
+        fp_acc = jnp.zeros((B, K), jnp.int32)
+        ss_acc = jnp.zeros((B, K), jnp.int32)
+        nh_acc = jnp.zeros((B, K), jnp.int32)
+        nv_acc = jnp.zeros((B, K), jnp.int32)
+        ns_acc = jnp.zeros((B, K), jnp.int32)
         work = dedup
         for k in range(K):
             best = jnp.max(work, axis=1, keepdims=True)
             col = jnp.min(
                 jnp.where(work == best, cols, K2), axis=1, keepdims=True
             ).astype(jnp.int32)
-            top_ref[:, k : k + 1] = best
-            from_pool = col < K
-            src = jnp.where(from_pool, col, col - K)
-            fp_ref[:, k : k + 1] = from_pool.astype(jnp.int32)
-            ss_ref[:, k : k + 1] = src
-            nh_ref[:, k : k + 1] = gather2k(hashes, col)
-            pv2 = jnp.concatenate(
-                [pv_ref[:], jnp.full((B, K), round_j, jnp.int32)], axis=1
-            )
-            nv_ref[:, k : k + 1] = gather2k(pv2, col)
-            psl2 = jnp.concatenate([psl_ref[:], cols[:, :K]], axis=1)
-            ns_ref[:, k : k + 1] = jnp.where(
-                from_pool, gather2k(psl2, col), src
-            )
+            sel = cols == col  # one-hot [B, 2K]
+            from_pool = (col < K).astype(jnp.int32)
+            src = jnp.where(col < K, col, col - K)
+            kmask = kcols == k
+            top_acc = jnp.where(kmask, best, top_acc)
+            fp_acc = jnp.where(kmask, from_pool, fp_acc)
+            ss_acc = jnp.where(kmask, src, ss_acc)
+            nh_acc = jnp.where(kmask, col_val(hashes, sel), nh_acc)
+            nv_acc = jnp.where(kmask, col_val(vers, sel), nv_acc)
+            ns_acc = jnp.where(kmask, col_val(slots, sel), ns_acc)
             # strictly-below mask keeps picked columns out of later ties
-            work = jnp.where(cols == col, 2.0 * NEG_INF, work)
+            work = jnp.where(sel, 2.0 * NEG_INF, work)
+        top_ref[:] = top_acc
+        fp_ref[:] = fp_acc
+        ss_ref[:] = ss_acc
+        nh_ref[:] = nh_acc
+        nv_ref[:] = nv_acc
+        ns_ref[:] = ns_acc
 
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
-        in_specs=[vspec() for _ in range(6)],
+        in_specs=[vspec() for _ in range(4)],
         out_specs=tuple(vspec() for _ in range(6)),
         out_shape=(
             jax.ShapeDtypeStruct((B, K), jnp.float32),
@@ -391,12 +425,5 @@ def aes_merge(
             jax.ShapeDtypeStruct((B, K), jnp.int32),
         ),
         interpret=interpret,
-    )(
-        pool_scores.astype(jnp.float32),
-        blank_scores.astype(jnp.float32),
-        pool_hash.astype(jnp.int32),
-        exp_hash.astype(jnp.int32),
-        pool_ver.astype(jnp.int32),
-        pool_slot.astype(jnp.int32),
-    )
+    )(merged_in, hashes_in, ver_in, slot_in)
     return outs
