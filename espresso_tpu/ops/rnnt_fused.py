@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from espresso_tpu.ops.rnnt import _log_chain_scan
 
 NEG_INF = -1.0e30
-DEFAULT_CHUNK = 16
+# v5e sweep at the flagship operating point (B=16, T=256, U=100, V=1024):
+# fwd+bwd ms by chunk: C=2 27.3, C=4 26.8, C=8 26.7, C=16 34.5, C=32 42.3 —
+# the [B, C, U1, V] fp32 logits buffer is HBM-bound, so smaller chunks win
+# until scan overhead bites; 8 is the floor
+DEFAULT_CHUNK = 8
 
 
 def _pad_T(x, C):
