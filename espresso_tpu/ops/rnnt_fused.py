@@ -130,8 +130,42 @@ def _alpha_scan(
     return alpha_end + lpb_end, alphas
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+# Pallas joint-kernel path selector: "auto" uses the kernels on TPU when
+# the shape gate passes, "off" forces the XLA chunked path, "interpret"
+# runs the kernels in interpreter mode (CPU parity tests)
+PALLAS_MODE = "auto"
+
+
 def rnnt_loss_fused(
+    enc_proj, dec_proj, fc_kernel, fc_bias, targets, src_lengths, tgt_lengths,
+    blank, chunk_size=DEFAULT_CHUNK,
+):
+    """Lattice-free transducer NLL [B]. Dispatches to the Pallas joint
+    kernels (ops/rnnt_pallas.py — the [B,T,U1,V] tensor never touches HBM)
+    on TPU, else the XLA chunked path below."""
+    from espresso_tpu.ops.rnnt_pallas import (
+        rnnt_loss_fused_pallas,
+        supports_rnnt_pallas,
+    )
+
+    U1 = dec_proj.shape[1]
+    J = enc_proj.shape[2]
+    V = fc_kernel.shape[1]
+    if PALLAS_MODE == "interpret" or (
+        PALLAS_MODE in ("auto", "on") and supports_rnnt_pallas(U1, J, V)
+    ):
+        return rnnt_loss_fused_pallas(
+            enc_proj, dec_proj, fc_kernel, fc_bias, targets, src_lengths,
+            tgt_lengths, blank, PALLAS_MODE == "interpret",
+        )
+    return rnnt_loss_fused_xla(
+        enc_proj, dec_proj, fc_kernel, fc_bias, targets, src_lengths,
+        tgt_lengths, blank, chunk_size,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def rnnt_loss_fused_xla(
     enc_proj, dec_proj, fc_kernel, fc_bias, targets, src_lengths, tgt_lengths,
     blank, chunk_size=DEFAULT_CHUNK,
 ):
@@ -305,4 +339,4 @@ def _fused_bwd(blank, chunk_size, res, g):
     )
 
 
-rnnt_loss_fused.defvjp(_fused_fwd, _fused_bwd)
+rnnt_loss_fused_xla.defvjp(_fused_fwd, _fused_bwd)

@@ -88,3 +88,65 @@ def test_fused_bf16_inputs_close_to_f32():
         a, c = np.asarray(a, np.float32), np.asarray(c, np.float32)
         denom = np.abs(a).max() + 1e-6
         assert np.abs(a - c).max() / denom < 0.1, np.abs(a - c).max() / denom
+
+
+def test_pallas_interpret_matches_xla_values_and_grads():
+    """The Pallas joint-kernel path (interpret mode on CPU) matches the XLA
+    chunked path for values and all four gradients, including padded rows
+    (V/J 128-aligned as the kernel's shape gate requires)."""
+    from espresso_tpu.ops.rnnt_fused import rnnt_loss_fused_xla
+    from espresso_tpu.ops.rnnt_pallas import rnnt_loss_fused_pallas
+
+    enc_proj, dec_proj, W, b, targets, sl, tl = _setup(
+        B=2, T=5, U=3, J=128, V=256, seed=7
+    )
+
+    def loss_pallas(e, d, w, bb):
+        return rnnt_loss_fused_pallas(
+            e, d, w, bb, targets, sl, tl, 0, True
+        ).sum()
+
+    def loss_xla(e, d, w, bb):
+        return rnnt_loss_fused_xla(e, d, w, bb, targets, sl, tl, 0).sum()
+
+    vp = np.asarray(loss_pallas(enc_proj, dec_proj, W, b))
+    vx = np.asarray(loss_xla(enc_proj, dec_proj, W, b))
+    assert np.allclose(vp, vx, rtol=1e-5, atol=1e-4), (vp, vx)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(enc_proj, dec_proj, W, b)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(enc_proj, dec_proj, W, b)
+    for name, a, c in zip(("enc", "dec", "W", "b"), gp, gx):
+        err = np.abs(np.asarray(a) - np.asarray(c)).max()
+        scale = np.abs(np.asarray(c)).max() + 1e-6
+        assert err / scale < 2e-4, (name, err, scale)
+
+
+def test_pallas_interpret_blank_nonzero_and_uneven_lengths():
+    """blank in a non-first V tile + strongly uneven lengths."""
+    from espresso_tpu.ops.rnnt_fused import rnnt_loss_fused_xla
+    from espresso_tpu.ops.rnnt_pallas import rnnt_loss_fused_pallas
+
+    rng = np.random.default_rng(11)
+    B, T, U, J, V = 3, 4, 5, 128, 256
+    enc_proj = jnp.asarray(rng.standard_normal((B, T, J)).astype(np.float32))
+    dec_proj = jnp.asarray(
+        rng.standard_normal((B, U + 1, J)).astype(np.float32)
+    )
+    W = jnp.asarray(rng.standard_normal((J, V)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.standard_normal((V,)).astype(np.float32) * 0.1)
+    targets = jnp.asarray(rng.integers(0, V, (B, U)).astype(np.int32))
+    sl = jnp.asarray([T, 1, 2])
+    tl = jnp.asarray([U, 0, 2])
+    blank = 131  # second V tile
+
+    vp = np.asarray(
+        rnnt_loss_fused_pallas(
+            enc_proj, dec_proj, W, b, targets, sl, tl, blank, True
+        )
+    )
+    vx = np.asarray(
+        rnnt_loss_fused_xla(
+            enc_proj, dec_proj, W, b, targets, sl, tl, blank
+        )
+    )
+    assert np.allclose(vp, vx, rtol=1e-5, atol=1e-4), (vp, vx)
