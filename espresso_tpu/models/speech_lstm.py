@@ -196,15 +196,18 @@ def scanned_decoder_step(
     encoder_output_units: int,
     compute_logits: bool = True,
     name: str = "decoder",
+    unroll: int = 8,
 ):
     """nn.scan over _DecoderStep; inputs = (tokens [U,B], coin [U,B],
-    enc_out*, enc_mask*, train*, ss_prob*) where * are broadcast."""
+    enc_out*, enc_mask*, train*, ss_prob*) where * are broadcast. ``unroll``
+    amortizes the while-loop overhead of the small per-step matmuls."""
     return nn.scan(
         _DecoderStep,
         variable_broadcast="params",
         split_rngs={"params": False, "dropout": True},
         in_axes=(0, 0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
         out_axes=0,
+        unroll=unroll,
     )(cfg, encoder_output_units, compute_logits=compute_logits, name=name)
 
 

@@ -66,6 +66,11 @@ class LSTMLayer(nn.Module):
     jax.lax.scan (no module re-binding per step)."""
 
     hidden_size: int
+    # unroll k scan steps per while-loop iteration: the body's 4 small
+    # matmuls are latency/overhead-bound on TPU, so amortizing the loop
+    # machinery (and letting XLA share the weight loads) across k steps is
+    # a large win at LSTM sizes (measured on the transducer pred-net)
+    unroll: int = 8
 
     @nn.compact
     def __call__(
@@ -100,7 +105,9 @@ class LSTMLayer(nn.Module):
             return (h_new, c_new), h_new
 
         xs = (jnp.moveaxis(x_proj, 1, 0), jnp.arange(T))
-        (h_T, c_T), hs = jax.lax.scan(step, (h0, c0), xs)
+        (h_T, c_T), hs = jax.lax.scan(
+            step, (h0, c0), xs, unroll=min(self.unroll, T)
+        )
         out = jnp.moveaxis(hs, 0, 1)  # [B, T, H]
         if lengths is not None:
             mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]

@@ -324,20 +324,24 @@ def make_train_step(
 
         finite = jnp.isfinite(gnorm) & jnp.isfinite(loss_sum)
 
-        updates, new_opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        new_params = optax.apply_updates(state.params, updates)
-        # skip the update when non-finite (reference overflow retry)
-        new_params = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old),
-            new_params,
-            state.params,
-        )
-        new_opt_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(finite, new, old),
-            new_opt_state,
-            state.opt_state,
+        # skip the update when non-finite (reference overflow retry).
+        # lax.cond, not a tree-wide jnp.where: the where reads+rewrites the
+        # full fp32 master params AND adam m/v (~4 GB at the flagship size,
+        # ~4.6 ms/step of pure HBM traffic); cond executes one branch
+        def _do_update(operand):
+            g, opt_state, params = operand
+            updates, opt_state = optimizer.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        def _skip_update(operand):
+            _, opt_state, params = operand
+            return params, opt_state
+
+        new_params, new_opt_state = jax.lax.cond(
+            finite,
+            _do_update,
+            _skip_update,
+            (grads, state.opt_state, state.params),
         )
         new_ema = state.ema_params
         if ema_decay > 0.0 and state.ema_params is not None:
