@@ -26,6 +26,8 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+
+from espresso_tpu.cli.logging_utils import setup_logging
 import os
 import re
 import sys
@@ -33,7 +35,7 @@ from typing import Any, Dict
 
 import numpy as np
 
-logging.basicConfig(level=logging.INFO, stream=sys.stdout, force=True)
+setup_logging()
 logger = logging.getLogger("espresso_tpu.convert")
 
 

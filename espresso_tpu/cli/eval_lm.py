@@ -13,6 +13,8 @@ Usage:
 from __future__ import annotations
 
 import logging
+
+from espresso_tpu.cli.logging_utils import setup_logging
 import math
 import sys
 
@@ -34,12 +36,7 @@ logger = logging.getLogger("espresso_tpu.eval_lm")
 
 
 def main(argv=None):
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
-        stream=sys.stdout,
-        force=True,  # orbax installs a root handler at import; override it
-    )
+    setup_logging()
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
     from espresso_tpu.config import apply_saved_model_cfg
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import json
 import logging
+
+from espresso_tpu.cli.logging_utils import setup_logging
 import os
 import re
 import sys
@@ -61,12 +63,7 @@ def _parse_lines(lines: List[str]) -> List[Tuple[str, str]]:
 
 
 def main(argv=None) -> int:
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
-        stream=sys.stderr,
-        force=True,  # orbax installs a root handler at import; override it
-    )
+    setup_logging(stream=sys.stderr)
     argv = list(argv if argv is not None else sys.argv[1:])
     input_path: Optional[str] = None
     buffer_size = 16

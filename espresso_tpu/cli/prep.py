@@ -28,12 +28,9 @@ from collections import Counter, OrderedDict
 
 import numpy as np
 
-logging.basicConfig(
-    format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
-    level=logging.INFO,
-    stream=sys.stdout,
-    force=True,  # orbax installs a root handler at import; override it
-)
+from espresso_tpu.cli.logging_utils import setup_logging
+
+setup_logging()
 logger = logging.getLogger("espresso_tpu.prep")
 
 

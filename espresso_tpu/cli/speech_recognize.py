@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import json
 import logging
+
+from espresso_tpu.cli.logging_utils import setup_logging
 import os
 import sys
 import time
@@ -160,12 +162,7 @@ def build_lm(cfg: EspressoConfig, task):
 
 
 def main(argv=None) -> Dict[str, float]:
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
-        stream=sys.stdout,
-        force=True,  # orbax installs a root handler at import; override it
-    )
+    setup_logging()
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
     from espresso_tpu.config import apply_saved_model_cfg
 

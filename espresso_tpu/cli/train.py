@@ -14,6 +14,8 @@ Usage:
 from __future__ import annotations
 
 import logging
+
+from espresso_tpu.cli.logging_utils import setup_logging
 import os
 import signal
 import sys
@@ -169,12 +171,7 @@ def _install_preemption_handler() -> None:
 
 
 def main(argv=None) -> Dict[str, float]:
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
-        stream=sys.stdout,
-        force=True,  # orbax installs a root handler at import; override it
-    )
+    setup_logging()
     _PREEMPT.clear()
     _install_preemption_handler()
     cfg = parse_config(argv if argv is not None else sys.argv[1:])
