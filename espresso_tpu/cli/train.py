@@ -330,12 +330,31 @@ def main(argv=None) -> Dict[str, float]:
             plateau.load_state_dict(host_state["plateau"])
         ckpt_mgr.best = host_state.get("best")
 
-    train_step = jax.jit(
-        make_train_step(
-            model, criterion, optimizer, cfg, ema_decay=cfg.optimization.ema_decay
-        ),
-        donate_argnums=(0,),
+    pure_step = make_train_step(
+        model, criterion, optimizer, cfg, ema_decay=cfg.optimization.ema_decay
     )
+    bmuf = None
+    if cfg.distributed.ddp_backend in ("bmuf", "slowmo"):
+        # local-SGD data parallelism: replica-local steps + periodic
+        # block-momentum sync (reference fairseq/optim/bmuf.py; slowmo
+        # distributed_fairseq_model.py:28-120) — parallel/local_sgd.py
+        from espresso_tpu.parallel.local_sgd import BMUFTrainer
+
+        bmuf = BMUFTrainer(
+            pure_step,
+            optimizer,
+            mesh,
+            cfg.distributed,
+            start_updates=int(state.step),
+        )
+        state = bmuf.init(state)
+        train_step = bmuf.step
+        logger.info(
+            "ddp_backend=%s: %d local replicas, sync every %d updates",
+            cfg.distributed.ddp_backend, bmuf.R, bmuf.sync_iter,
+        )
+    else:
+        train_step = jax.jit(pure_step, donate_argnums=(0,))
     valid_step = jax.jit(make_valid_step(model, criterion, cfg))
 
     def rebuild_train_step(new_lr: float):
@@ -346,16 +365,16 @@ def main(argv=None) -> Dict[str, float]:
         opt_state carries over."""
         cfg.optimization.lr = [float(new_lr)]
         new_opt, new_schedule = build_optimizer(cfg)
-        new_step = jax.jit(
-            make_train_step(
-                model,
-                criterion,
-                new_opt,
-                cfg,
-                ema_decay=cfg.optimization.ema_decay,
-            ),
-            donate_argnums=(0,),
+        new_pure = make_train_step(
+            model,
+            criterion,
+            new_opt,
+            cfg,
+            ema_decay=cfg.optimization.ema_decay,
         )
+        if bmuf is not None:
+            return bmuf.rebuild(new_pure, new_opt), new_schedule
+        new_step = jax.jit(new_pure, donate_argnums=(0,))
         return new_step, new_schedule
     from espresso_tpu.tools.scheduled_sampling import (
         ScheduledSamplingRateScheduler,
@@ -382,7 +401,9 @@ def main(argv=None) -> Dict[str, float]:
     max_epoch = cfg.optimization.max_epoch or 10**9
     max_update = cfg.optimization.max_update or 10**9
     patience_left = cfg.checkpoint.patience
-    num_updates = int(state.step)
+    num_updates = int(
+        state.step if bmuf is None else state.inner.step[0]
+    )
     final_stats: Dict[str, float] = {}
 
     # hung-job watchdog (reference DistributedTimeoutWrapper,
@@ -416,6 +437,7 @@ def main(argv=None) -> Dict[str, float]:
             num_updates,
             rebuild_train_step,
             hb,
+            consolidate=bmuf.consolidate if bmuf is not None else None,
         )
     except Exception:
         # crash checkpoint (reference trainer.py:858-863 crash.pt)
@@ -424,7 +446,7 @@ def main(argv=None) -> Dict[str, float]:
 
             save_checkpoint_state(
                 os.path.join(cfg.checkpoint.save_dir, "checkpoint_crash"),
-                state,
+                bmuf.consolidate(state) if bmuf is not None else state,
                 {"iterator": train_itr.state_dict()},
             )
             logger.error("exception — saved checkpoint_crash")
@@ -465,8 +487,14 @@ def _train_loop(
     num_updates,
     rebuild_train_step=None,
     hb=None,
+    consolidate=None,
 ):
     final_stats: Dict[str, float] = {}
+
+    def _view(s):
+        # local-SGD (bmuf/slowmo) trains a stacked BMUFState; validation,
+        # checkpointing, and sample printing use the consolidated TrainState
+        return consolidate(s) if consolidate is not None else s
     while train_itr.next_epoch_idx <= max_epoch and num_updates < max_update:
         epoch = train_itr.next_epoch_idx
         epoch_itr = train_itr.next_epoch_itr()
@@ -515,7 +543,7 @@ def _train_loop(
                         os.path.join(
                             cfg.checkpoint.save_dir, "checkpoint_last"
                         ),
-                        state,
+                        _view(state),
                         {"iterator": train_itr.state_dict()},
                     )
                 logger.info(
@@ -551,7 +579,7 @@ def _train_loop(
                 and "src_frames" in group
             ):
                 _print_training_sample(
-                    model, state, task, group, num_updates
+                    model, _view(state), task, group, num_updates
                 )
             if num_updates % cfg.common.log_interval == 0:
                 _flush_metrics()
@@ -568,7 +596,8 @@ def _train_loop(
                 if plateau is not None:
                     host_state["plateau"] = plateau.state_dict()
                 ckpt_mgr.save_epoch(
-                    state, host_state, epoch, end_of_epoch=False, updates=num_updates
+                    _view(state), host_state, epoch,
+                    end_of_epoch=False, updates=num_updates,
                 )
 
         if profiling:
@@ -586,7 +615,8 @@ def _train_loop(
             shuffle=False,
         ).next_epoch_itr()
         val_stats = validate(
-            cfg, task, model, criterion, valid_step, state, valid_itr_epoch, None
+            cfg, task, model, criterion, valid_step, _view(state),
+            valid_itr_epoch, None,
         )
         if hb is not None:
             hb.ping()
@@ -612,12 +642,12 @@ def _train_loop(
         host_state = {"iterator": train_itr.state_dict()}
         if plateau is not None:
             host_state["plateau"] = plateau.state_dict()
-        ckpt_mgr.save_epoch(state, host_state, epoch, val_metric=val_metric)
+        ckpt_mgr.save_epoch(_view(state), host_state, epoch, val_metric=val_metric)
 
         # hybrid: update the HMM state prior from model posteriors
         # (reference update_state_prior, speech_recognition_hybrid.py:594)
         if hasattr(task, "update_state_prior") and len(valid_itr_epoch) >= 0:
-            _update_hybrid_state_prior(cfg, task, model, state, valid_ds)
+            _update_hybrid_state_prior(cfg, task, model, _view(state), valid_ds)
 
         if cfg.checkpoint.patience > 0:
             patience_left = cfg.checkpoint.patience if improved else patience_left - 1

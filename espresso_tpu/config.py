@@ -69,6 +69,22 @@ class DistributedConfig:
     # shard encoder activations' time axis over 'model' at layer boundaries
     # (Megatron sequence parallelism; needs model_parallel_size > 1)
     sequence_parallel: bool = False
+    # data-parallel gradient sync mode (reference ddp_backend,
+    # distributed_fairseq_model.py:35): "ddp" = synchronous (XLA psum each
+    # step); "bmuf" = block-momentum update filtering (fairseq/optim/bmuf.py,
+    # configs.py:781-807); "slowmo" = local SGD + slow momentum (maps onto
+    # the BMUF machinery — parallel/local_sgd.py)
+    ddp_backend: str = "ddp"
+    # BMUF knobs (reference FairseqBMUFConfig defaults)
+    global_sync_iter: int = 50
+    block_momentum: float = 0.875
+    block_lr: float = 1.0
+    warmup_iterations: int = 500
+    use_nbm: bool = False
+    average_sync: bool = False
+    # slowmo knobs (reference configs.py:349-367)
+    slowmo_momentum: float = 0.5
+    localsgd_frequency: int = 3
     # kill the job if no training progress for this many seconds (reference
     # DistributedTimeoutWrapper / --heartbeat-timeout, configs.py:335-341);
     # <= 0 disables

@@ -22,6 +22,7 @@ Verified against ops/rnnt.py (lattice) for values and gradients.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -132,8 +133,10 @@ def _alpha_scan(
 
 # Pallas joint-kernel path selector: "auto" uses the kernels on TPU when
 # the shape gate passes, "off" forces the XLA chunked path, "interpret"
-# runs the kernels in interpreter mode (CPU parity tests)
-PALLAS_MODE = "auto"
+# runs the kernels in interpreter mode (CPU parity tests). Overridable
+# without code edits via ESPRESSO_RNNT_PALLAS (operational escape hatch —
+# a Mosaic miscompile on a new libtpu must not stall production training).
+PALLAS_MODE = os.environ.get("ESPRESSO_RNNT_PALLAS", "auto")
 
 
 def rnnt_loss_fused(
