@@ -131,12 +131,16 @@ def _alpha_scan(
     return alpha_end + lpb_end, alphas
 
 
-# Pallas joint-kernel path selector: "auto" uses the kernels on TPU when
+# Pallas joint-kernel path selector: "on" uses the kernels on TPU when
 # the shape gate passes, "off" forces the XLA chunked path, "interpret"
-# runs the kernels in interpreter mode (CPU parity tests). Overridable
-# without code edits via ESPRESSO_RNNT_PALLAS (operational escape hatch —
-# a Mosaic miscompile on a new libtpu must not stall production training).
-PALLAS_MODE = os.environ.get("ESPRESSO_RNNT_PALLAS", "auto")
+# runs the kernels in interpreter mode (CPU parity tests). Default is OFF:
+# on v5e libtpu, Mosaic rejects the backward kernel at flagship shapes
+# (bf16 single-row vector.load 1x1x512 from a 1x128x512 VMEM tile fails
+# ApplyVectorLayout), which crashed bench_train.py at compile time. The
+# XLA chunked path below is the measured-fastest production default
+# (94.6 ms/step A/B); flip via ESPRESSO_RNNT_PALLAS=on once the packed
+# sublane load is reworked (queued in STATUS.md).
+PALLAS_MODE = os.environ.get("ESPRESSO_RNNT_PALLAS", "off")
 
 
 def rnnt_loss_fused(
