@@ -147,9 +147,10 @@ def rnnt_loss_fused(
     enc_proj, dec_proj, fc_kernel, fc_bias, targets, src_lengths, tgt_lengths,
     blank, chunk_size=DEFAULT_CHUNK,
 ):
-    """Lattice-free transducer NLL [B]. Dispatches to the Pallas joint
-    kernels (ops/rnnt_pallas.py — the [B,T,U1,V] tensor never touches HBM)
-    on TPU, else the XLA chunked path below."""
+    """Lattice-free transducer NLL [B]. The XLA chunked path below is the
+    production default; the Pallas joint kernels (ops/rnnt_pallas.py — the
+    [B,T,U1,V] tensor never touches HBM) are used only under
+    ESPRESSO_RNNT_PALLAS=on/auto/interpret (see PALLAS_MODE above)."""
     from espresso_tpu.ops.rnnt_pallas import (
         rnnt_loss_fused_pallas,
         supports_rnnt_pallas,
