@@ -279,6 +279,26 @@ def main(argv=None) -> Dict[str, float]:
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info("num params: %s", f"{n_params:,}")
 
+    if cfg.optimization.ema_seed_model:
+        # seed the EMA copy from a checkpoint (reference EMAConfig
+        # ema_seed_model -> load_ema_from_checkpoint, ema.py:86-90): prefer
+        # the checkpoint's own EMA params, fall back to its model params
+        from espresso_tpu.train.checkpoint import load_raw_checkpoint
+
+        raw = load_raw_checkpoint(cfg.optimization.ema_seed_model)
+        seed = raw.get("ema_params") or raw.get("params")
+        assert seed is not None, "ema_seed_model checkpoint has no params"
+        state = state.replace(
+            ema_params=jax.tree_util.tree_map(
+                lambda t, s: jnp.asarray(np.asarray(s), t.dtype),
+                state.ema_params,
+                seed,
+            )
+        )
+        logger.info(
+            "seeded EMA from %s", cfg.optimization.ema_seed_model
+        )
+
     # shard: params replicated (DP) or partitioned (FSDP/TP)
     param_shardings = partition_params(
         state.params,

@@ -142,7 +142,20 @@ class OptimizationConfig:
     update_freq: List[int] = field(default_factory=lambda: [1])
     sentence_avg: bool = False
     stop_min_lr: float = -1.0
-    ema_decay: float = 0.0  # exponential moving average of params (0 = off)
+    # EMA of params (reference fairseq/models/ema/ema.py + EMAConfig,
+    # fairseq/dataclass/configs.py:1167-1190). 0 = off. EMA is always kept
+    # fp32 here (params are fp32 masters), i.e. the reference's recommended
+    # ema_fp32=True is structural.
+    ema_decay: float = 0.0
+    # before this many updates EMA copies the params (reference decay=0
+    # semantics, ema.py:187-193)
+    ema_start_update: int = 0
+    ema_update_freq: int = 1  # update EMA every N model updates
+    # seed the EMA copy from a checkpoint (reference ema_seed_model)
+    ema_seed_model: Optional[str] = None
+    # run validation with the EMA weights (reference tasks' uses_ema +
+    # EMA.reverse inference path)
+    ema_validate: bool = False
     # quant-noise QAT (fairseq --quant-noise-pq / --quant-noise-pq-block-size)
     quant_noise_pq: float = 0.0
     quant_noise_block_size: int = 8

@@ -131,26 +131,26 @@ def _alpha_scan(
     return alpha_end + lpb_end, alphas
 
 
-# Pallas joint-kernel path selector: "on" uses the kernels on TPU when
-# the shape gate passes, "off" forces the XLA chunked path, "interpret"
-# runs the kernels in interpreter mode (CPU parity tests). Default is OFF:
-# on v5e libtpu, Mosaic rejects the backward kernel at flagship shapes
-# (bf16 single-row vector.load 1x1x512 from a 1x128x512 VMEM tile fails
-# ApplyVectorLayout), which crashed bench_train.py at compile time. The
-# XLA chunked path below is the measured-fastest production default
-# (94.6 ms/step A/B); flip via ESPRESSO_RNNT_PALLAS=on once the packed
-# sublane load is reworked (queued in STATUS.md).
-PALLAS_MODE = os.environ.get("ESPRESSO_RNNT_PALLAS", "off")
+# Pallas joint-kernel path selector: "auto" (default) uses the kernels on
+# TPU when the shape gate passes, "on" forces them, "off" forces the XLA
+# chunked path, "interpret" runs the kernels in interpreter mode (CPU
+# parity tests). The round-2 Mosaic blocker (single-row bf16 vector.load
+# from a multi-row VMEM tile failing ApplyVectorLayout) was fixed by
+# full-tile loads + one-hot sublane mask-reduce (ops/rnnt_pallas.py);
+# real-v5e A/B at the flagship point (B=16 T=256 U=100 J=512 V=1024):
+# Pallas 18.1 ms vs XLA chunked 32.7 ms fwd+bwd (1.81x) — see bench_rnnt.py.
+PALLAS_MODE = os.environ.get("ESPRESSO_RNNT_PALLAS", "auto")
 
 
 def rnnt_loss_fused(
     enc_proj, dec_proj, fc_kernel, fc_bias, targets, src_lengths, tgt_lengths,
     blank, chunk_size=DEFAULT_CHUNK,
 ):
-    """Lattice-free transducer NLL [B]. The XLA chunked path below is the
-    production default; the Pallas joint kernels (ops/rnnt_pallas.py — the
-    [B,T,U1,V] tensor never touches HBM) are used only under
-    ESPRESSO_RNNT_PALLAS=on/auto/interpret (see PALLAS_MODE above)."""
+    """Lattice-free transducer NLL [B]. On TPU the Pallas joint kernels
+    (ops/rnnt_pallas.py — the [B,T,U1,V] tensor never touches HBM) are the
+    default when the shape gate passes (1.81x over the XLA chunked path at
+    flagship shapes, bench_rnnt.py); the XLA chunked path below is the
+    fallback and the CPU/GPU path (see PALLAS_MODE above)."""
     from espresso_tpu.ops.rnnt_pallas import (
         rnnt_loss_fused_pallas,
         supports_rnnt_pallas,

@@ -105,6 +105,12 @@ def rnnt_joint_lp(
     def kernel(enc_ref, dec_ref, tgt_ref, w_ref, b_ref,
                lpb_ref, lpl_ref, lse_ref):
         dec = dec_ref[0].astype(jnp.float32)  # [U1p, J]
+        # full-tile load; per-frame rows are extracted below by one-hot
+        # mask-reduce over the sublane dim. A single-row bf16 vector.load
+        # from this multi-row tile fails Mosaic's ApplyVectorLayout on v5e
+        # (the round-2 blocker) — same workaround as decode_kernels.aes_merge
+        enc_f = enc_ref[0].astype(jnp.float32)  # [T_TILE, J]
+        sub_enc = jax.lax.broadcasted_iota(jnp.int32, (_T_TILE, J), 0)
         tgtc = tgt_ref[0]  # [U1p, 1] i32
         tgt4 = jnp.concatenate([tgtc] * _FPB, axis=0)  # [R, 1]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (U1p, _T_TILE), 1)
@@ -117,7 +123,10 @@ def rnnt_joint_lp(
             base = it * _FPB
             pres = []
             for i in range(_FPB):
-                e = enc_ref[0, pl.ds(base + i, 1), :].astype(jnp.float32)
+                e = jnp.sum(
+                    jnp.where(sub_enc == base + i, enc_f, 0.0),
+                    axis=0, keepdims=True,
+                )  # [1, J]
                 pres.append(jnp.maximum(e + dec, 0.0))
             pre = jnp.concatenate(pres, axis=0).astype(cdt)  # [R, J]
             m = jnp.full((R, 1), NEG_INF, jnp.float32)
@@ -137,7 +146,11 @@ def rnnt_joint_lp(
                 )
                 m = nm
                 if vt == bt:
-                    lb = logits[:, bcol:bcol + 1]
+                    # single-lane slice -> mask-reduce (Mosaic-safe)
+                    lb = jnp.sum(
+                        jnp.where(colsR == bcol, logits, 0.0),
+                        axis=1, keepdims=True,
+                    )
                 tmask = (colsR + vt * 128) == tgt4
                 lt = lt + jnp.sum(
                     jnp.where(tmask, logits, 0.0), axis=1, keepdims=True
@@ -247,6 +260,10 @@ def rnnt_joint_bwd(
             gb_ref[:] = jnp.zeros((1, V), jnp.float32)
 
         dec = dec_ref[0].astype(jnp.float32)
+        # full-tile load + sublane mask-reduce (see the forward kernel note:
+        # single-row bf16 loads from this tile fail ApplyVectorLayout)
+        enc_f = enc_ref[0].astype(jnp.float32)  # [T_TILE, J]
+        sub_enc = jax.lax.broadcasted_iota(jnp.int32, (_T_TILE, J), 0)
         tgtc = tgt_ref[0]
         tgt4 = jnp.concatenate([tgtc] * _FPB, axis=0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (U1p, _T_TILE), 1)
@@ -266,11 +283,14 @@ def rnnt_joint_bwd(
                 )
             return jnp.concatenate(outs, axis=0)  # [R, 1]
 
-        def body(it, _):
+        def body(it, genc_acc):
             base = it * _FPB
             pres = []
             for i in range(_FPB):
-                e = enc_ref[0, pl.ds(base + i, 1), :].astype(jnp.float32)
+                e = jnp.sum(
+                    jnp.where(sub_enc == base + i, enc_f, 0.0),
+                    axis=0, keepdims=True,
+                )  # [1, J]
                 pres.append(jnp.maximum(e + dec, 0.0))
             pre_f = jnp.concatenate(pres, axis=0)  # [R, J] f32
             pre = pre_f.astype(cdt)
@@ -310,13 +330,22 @@ def rnnt_joint_bwd(
             gpre = jnp.where(pre_f > 0.0, gpre, 0.0)
             for i in range(_FPB):
                 sl = slice(i * U1p, (i + 1) * U1p)
-                genc_ref[0, pl.ds(base + i, 1), :] = jnp.sum(
-                    gpre[sl], axis=0, keepdims=True
+                row = jnp.sum(gpre[sl], axis=0, keepdims=True)  # [1, J]
+                # scatter frame base+i's row into the tile-wide accumulator
+                # (single-row stores to the f32 output tile are the same
+                # Mosaic hazard as the loads above — store once at the end)
+                genc_acc = genc_acc + jnp.where(
+                    sub_enc == base + i,
+                    jnp.broadcast_to(row, (_T_TILE, J)),
+                    0.0,
                 )
                 gdec_ref[0] += gpre[sl]
-            return 0
+            return genc_acc
 
-        jax.lax.fori_loop(0, _T_TILE // _FPB, body, 0)
+        genc_final = jax.lax.fori_loop(
+            0, _T_TILE // _FPB, body, jnp.zeros((_T_TILE, J), jnp.float32)
+        )
+        genc_ref[0] = genc_final
 
     grid = (B, Tp // _T_TILE)
     g_enc, g_dec, g_W, g_b = pl.pallas_call(

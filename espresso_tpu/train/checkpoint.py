@@ -72,6 +72,18 @@ def save_checkpoint_state(
         json.dump(host_state, f)
 
 
+def load_raw_checkpoint(path: str) -> Dict[str, Any]:
+    """Restore a checkpoint without an abstract target: returns the raw
+    state dict (keys mirror TrainState: params / ema_params / opt_state /
+    ...). Used to seed EMA from an arbitrary checkpoint (reference
+    ema_seed_model -> load_ema_from_checkpoint,
+    fairseq/models/ema/ema.py:86-105)."""
+    wait_for_async_saves()
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.join(path, "state"))
+
+
 def load_checkpoint_state(path: str, abstract_state):
     wait_for_async_saves()
     path = os.path.abspath(path)

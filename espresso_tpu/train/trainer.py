@@ -206,6 +206,8 @@ def make_train_step(
         jnp.bfloat16 if cfg.common.dtype == "bfloat16" else jnp.float32
     )
     clip_norm = cfg.optimization.clip_norm
+    ema_start_update = cfg.optimization.ema_start_update
+    ema_update_freq = max(cfg.optimization.ema_update_freq, 1)
 
     # on-device SpecAugment fuses into the jitted step (TPU-first replacement
     # for the reference's host-worker transform; global CMVN is applied at
@@ -345,10 +347,37 @@ def make_train_step(
         )
         new_ema = state.ema_params
         if ema_decay > 0.0 and state.ema_params is not None:
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
-                state.ema_params,
-                new_params,
+            # reference EMA.step semantics (fairseq/models/ema/ema.py:175-198):
+            # decay is 0 before ema_start_update (EMA = plain copy of the
+            # params), the EMA is touched only every ema_update_freq-th
+            # update, and an overflow-skipped step never updates the EMA
+            # (the reference raises out of the whole update block). EMA is
+            # fp32 because params are fp32 masters (ema_fp32 structural).
+            decay = jnp.where(
+                state.step >= ema_start_update, ema_decay, 0.0
+            ).astype(jnp.float32)
+            due = (
+                ((state.step + 1) % ema_update_freq) == 0
+                if ema_update_freq > 1
+                else jnp.bool_(True)
+            )
+
+            def _ema_update(operand):
+                ema, p = operand
+                return jax.tree_util.tree_map(
+                    lambda e, q: e * decay
+                    + q.astype(e.dtype) * (1.0 - decay),
+                    ema,
+                    p,
+                )
+
+            # lax.cond (not tree-wide where): the where would read+rewrite
+            # the full fp32 EMA copy every non-update step
+            new_ema = jax.lax.cond(
+                finite & due,
+                _ema_update,
+                lambda operand: operand[0],
+                (state.ema_params, new_params),
             )
         new_state = state.replace(
             step=state.step + 1,
@@ -374,11 +403,19 @@ def make_valid_step(model, criterion, cfg: EspressoConfig):
     compute_dtype = (
         jnp.bfloat16 if cfg.common.dtype == "bfloat16" else jnp.float32
     )
+    # validate with the EMA copy (reference EMA.reverse + task.uses_ema)
+    use_ema = (
+        cfg.optimization.ema_validate and cfg.optimization.ema_decay > 0.0
+    )
 
     prepare_features = make_device_feature_fn(cfg)
 
     def valid_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        params = state.params
+        params = (
+            state.ema_params
+            if use_ema and state.ema_params is not None
+            else state.params
+        )
         if compute_dtype != jnp.float32:
             params = cast_floats(params, compute_dtype)
         variables = {"params": params}
