@@ -24,7 +24,6 @@ def main():
     import jax.numpy as jnp
 
     from espresso_tpu.data.dictionary import AsrDictionary
-    from espresso_tpu.decode.transducer_greedy import TransducerGreedyDecoder
     from espresso_tpu.models.speech_transformer import SpeechTransformerConfig
     from espresso_tpu.models.transducer import TransducerConfig, TransducerModel
 

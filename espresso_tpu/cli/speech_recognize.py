@@ -189,6 +189,7 @@ def main(argv=None) -> Dict[str, float]:
     prepare_features = make_device_feature_fn(cfg)
     scorer = Scorer(task.dictionary, cfg.generation.wer_output_filter)
     attn_store: Dict[str, Any] = {}
+    hyp_strs: Dict[str, str] = {}
 
     def collect_attention(dec_mb, hypos, utt_ids):
         """Exact attention for the 1-best hypothesis by teacher-forcing it
@@ -265,6 +266,8 @@ def main(argv=None) -> Dict[str, float]:
                 hyp_str = task.dictionary.tokens_to_sentence(
                     task.dictionary.string(best["tokens"])
                 )
+                if cfg.generation.print_alignment:
+                    hyp_strs[utt_ids[b]] = hyp_str
                 scorer.add_prediction(utt_ids[b], hyp_str)
                 if mb["tgt_lengths"][b] > 0:
                     has_ref = True
@@ -289,7 +292,18 @@ def main(argv=None) -> Dict[str, float]:
     os.makedirs(out_dir, exist_ok=True)
     if attn_store:
         np.savez(os.path.join(out_dir, "attn.npz"), **attn_store)
-        logger.info("saved %d attention matrices to attn.npz", len(attn_store))
+        # human-readable heatmaps next to the exact matrices (reference
+        # speech_recognize.py:305-314 -> tools/utils.py plot_attention)
+        from espresso_tpu.tools.plot import plot_attention
+
+        plot_dir = os.path.join(out_dir, "attn_plots")
+        for uid, attn in attn_store.items():
+            plot_attention(attn, hyp_strs.get(uid, ""), uid, plot_dir)
+        logger.info(
+            "saved %d attention matrices to attn.npz (+ plots in %s)",
+            len(attn_store),
+            plot_dir,
+        )
     with open(os.path.join(out_dir, "decoded_results.txt"), "w") as f:
         f.write(scorer.results)
     if has_ref:

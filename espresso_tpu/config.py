@@ -452,6 +452,13 @@ def parse_config(argv: List[str]) -> EspressoConfig:
     for key, value in overrides:
         _set_dotted(cfg, key, value)
     cfg._explicit_keys = explicit
+    if cfg.common.user_dir:
+        # load external plugins before any registry lookup (the reference
+        # imports --user-dir during options parsing, fairseq/options.py ->
+        # utils.import_user_module); every CLI goes through parse_config
+        from espresso_tpu.registry import import_user_module
+
+        import_user_module(cfg.common.user_dir)
     return cfg
 
 

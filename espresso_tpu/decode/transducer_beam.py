@@ -41,7 +41,15 @@ the reference's unbounded default, extension depth is statically bounded
 by ``prefix_alpha`` (the reference itself advises alpha=1).
 
 Optional shallow LM fusion with blank-less index shifting is applied on
-label expansions only (reference transducer_base_decoder.py:85-104).
+label expansions only (reference transducer_base_decoder.py:85-104), with
+the reference's mass-preserving renormalization: after adding the weighted
+LM log-probs, the non-blank columns are shifted by a per-row factor so the
+total non-blank probability mass is unchanged
+(transducer_beam_search_decoder.py:311-322); the same factor is applied
+per extension token inside the prefix merge (:516-545, :565-594). The
+fused Pallas kernel computes the fusion + factor in VMEM (the LM term
+enters as a pre-shifted additive bias tile), so LM-fused decode keeps the
+fast path.
 """
 
 from __future__ import annotations
@@ -118,14 +126,11 @@ class TransducerBeamSearchDecoder:
         if prefix_alpha is None:
             prefix_alpha = 1
         assert prefix_alpha >= 0, prefix_alpha
-        if prefix_alpha > 1 and lm is not None:
-            # deeper merges would need a ring of [BK, V_lm] LM prob history
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "prefix_alpha>1 with LM fusion is unsupported; clamping to 1"
-            )
-            prefix_alpha = 1
+        # prefix_alpha > 1 with LM fusion keeps a ring of the last A-1
+        # cached LM log-prob rows alongside the feature ring, so extension
+        # tokens at depth >= 2 get their LM term + renormalization factor
+        # exactly like the reference (transducer_beam_search_decoder.py
+        # :565-594); no clamping
         self.prefix_alpha = prefix_alpha
         if lm is not None:
             from espresso_tpu.decode.api import make_adapter
@@ -157,12 +162,17 @@ class TransducerBeamSearchDecoder:
         def run(variables, lm_variables, src_frames, src_lengths):
             B = src_frames.shape[0]
             BK = B * K
-            # fused joint+softmax+topk Pallas path (no-LM TPU decode):
-            # extract raw joint weights once; fall back to the jnp path when
-            # the model/shape doesn't fit (e.g. test stand-ins, CPU)
+            # fused joint+softmax+topk Pallas path: extract raw joint
+            # weights once; fall back to the jnp path when the model/shape
+            # doesn't fit (e.g. test stand-ins, CPU). LM shallow fusion
+            # rides the kernel as an additive per-row label bias (the
+            # shifted, lm_weight-scaled cached LM log-probs), so fused
+            # decode survives the reference's flagship LM-fused operating
+            # points (run.sh:266-290 lm_weight 0.47/0.4)
             use_fused = False
             fused_interpret = fused_mode == "interpret"
-            if fused_mode != "off" and lm_adapter is None:
+            has_lm_bias = lm_adapter is not None and lm_weight != 0.0
+            if fused_mode != "off":
                 try:
                     jp = variables["params"]["joint"]
                     joint_w = dict(
@@ -183,10 +193,28 @@ class TransducerBeamSearchDecoder:
                     Hf = joint_w["w_dec"].shape[0]
                     use_fused = fused_interpret or (
                         fused_mode in ("auto", "on", "on+merge")
-                        and supports_fused_joint_topk(B, K, Vf, Jf, Hf)
+                        and supports_fused_joint_topk(
+                            B, K, Vf, Jf, Hf, has_lm_bias
+                        )
                     )
                 except (KeyError, TypeError):
                     use_fused = False
+
+            def lm_label_bias(exp_lm):
+                """[BK, V_model] additive label bias for the fused kernel:
+                the cached LM log-probs shifted right by one (blank-less
+                index shift, transducer_base_decoder.py:85-104) and scaled
+                by lm_weight; NEG_INF-based masking for blank and
+                beyond-LM-vocab columns matches the jnp path exactly."""
+                if not (use_fused and has_lm_bias):
+                    return None
+                _, cached_lp = exp_lm  # [BK, V_lm] f32
+                width = min(Vf - 1, cached_lp.shape[-1])
+                shifted = jnp.full((B * K, Vf), NEG_INF, jnp.float32)
+                shifted = shifted.at[:, 1 : 1 + width].set(
+                    cached_lp[:, :width]
+                )
+                return lm_weight * jnp.maximum(shifted, NEG_INF)
             enc = model.apply(variables, src_frames, src_lengths, method="encode")
             # hypothesis state (flattened [B*K] where it matters)
             pdtype = jax.tree_util.tree_leaves(variables)[0].dtype
@@ -228,14 +256,22 @@ class TransducerBeamSearchDecoder:
             )
             if A >= 1:
                 # prefix-merge state: emitted-label counts, a ring of the
-                # last A tokens (newest first) and, for depth >= 2, the last
+                # last A tokens (newest first), for depth >= 2 the last
                 # A-1 prediction features (feat_hist[m] = the feature used to
-                # score the token m emissions ago)
+                # score the token m emissions ago), and — under LM fusion —
+                # the matching ring of cached LM log-prob rows (the LM term
+                # + renormalization factor of depth >= 2 extension tokens,
+                # reference transducer_beam_search_decoder.py:565-594)
                 pm0 = (
                     jnp.zeros((BK,), jnp.int32),
                     jnp.zeros((BK, A), jnp.int32),
                     jnp.zeros((A - 1, BK, feat0.shape[-1]), feat0.dtype)
                     if A >= 2
+                    else None,
+                    jnp.zeros(
+                        (A - 1, BK, lm_state0[1].shape[-1]), jnp.float32
+                    )
+                    if A >= 2 and has_lm_bias
                     else None,
                 )
             else:
@@ -283,8 +319,16 @@ class TransducerBeamSearchDecoder:
                 # n_exp LABEL expansions per frame (reference semantics),
                 # plus a blank-merge after each round (n_exp + 1 merges)
                 for j in range(n_exp + 1):
+                    # lm_factor_j: the per-row LM renormalization factor
+                    # (keep non-blank mass unchanged after fusion — the
+                    # reference's log_scaling_factor,
+                    # transducer_beam_search_decoder.py:311-322); the
+                    # prefix merge reuses it per source row
+                    lm_factor_j = None
+                    label_lp_lm = None
                     if use_fused:
-                        blank_lp_f, fused_vals, fused_idx = fused_joint_topk(
+                        bias_j = lm_label_bias(exp_lm)
+                        res = fused_joint_topk(
                             enc_t,
                             exp_feat,
                             exp_scores,
@@ -293,9 +337,14 @@ class TransducerBeamSearchDecoder:
                             blank=blank,
                             eos=eos,
                             fold_eos_into_blank=predicts_eos,
+                            label_bias=bias_j,
                             interpret=fused_interpret,
                             **joint_w,
                         )
+                        if bias_j is not None:
+                            blank_lp_f, fused_vals, fused_idx, lm_factor_j = res
+                        else:
+                            blank_lp_f, fused_vals, fused_idx = res
                         V = Vf
                         blank_scores = exp_scores + blank_lp_f
                         lprobs = None
@@ -317,6 +366,28 @@ class TransducerBeamSearchDecoder:
                             ).at[:, :, eos].set(NEG_INF)
                         V = lprobs.shape[-1]
                         blank_scores = exp_scores + lprobs[:, :, blank]
+                        if has_lm_bias:
+                            # shallow fusion with blank-less index shift +
+                            # renormalization (reference :298-322; under
+                            # predicts_eos the folded-out eos column is
+                            # excluded from the mass on both sides)
+                            lab_j = lprobs.at[:, :, blank].set(NEG_INF)
+                            _, cached_lp = exp_lm
+                            lm_lp = cached_lp.reshape(B, K, -1)
+                            width = min(V - 1, lm_lp.shape[-1])
+                            shifted = jnp.full(
+                                (B, K, V), NEG_INF, jnp.float32
+                            )
+                            shifted = shifted.at[:, :, 1 : 1 + width].set(
+                                lm_lp[..., :width]
+                            )
+                            fused_lab = lab_j + lm_weight * jnp.maximum(
+                                shifted, NEG_INF
+                            )
+                            lm_factor_j = jax.nn.logsumexp(
+                                lab_j, axis=-1
+                            ) - jax.nn.logsumexp(fused_lab, axis=-1)
+                            label_lp_lm = fused_lab + lm_factor_j[..., None]
 
                     # ---- proper-prefix merge (frame start only) -----------
                     # reference prefix_search_and_merge semantics: for every
@@ -324,7 +395,7 @@ class TransducerBeamSearchDecoder:
                     # len_j - len_i <= A, add score_i + sum of the extension
                     # tokens' log-probs under THIS frame's joint into score_j
                     if j == 0 and A >= 1:
-                        sl, th, fh = exp_pm
+                        sl, th, fh, lmh = exp_pm
                         sl2 = sl.reshape(B, K)
                         th3 = th.reshape(B, K, A)
                         live2 = exp_scores > NEG_INF / 2
@@ -396,17 +467,47 @@ class TransducerBeamSearchDecoder:
                             lp_h = jax.nn.log_softmax(
                                 logits_h.astype(jnp.float32), -1
                             ).reshape(A - 1, B, K, -1)
+                            toks_h = jnp.moveaxis(th3[:, :, : A - 1], 2, 0)
                             lp_tok_h = jnp.take_along_axis(
-                                lp_h,
-                                jnp.moveaxis(th3[:, :, : A - 1], 2, 0)[
-                                    ..., None
-                                ],
-                                axis=3,
+                                lp_h, toks_h[..., None], axis=3
                             )[..., 0]  # [A-1, B, K]
+                            term_h = lp_tok_h
+                            if has_lm_bias:
+                                # depth >= 2 LM terms: the LM log-prob of
+                                # the token m emissions ago under the LM
+                                # cache m emissions ago, plus that row's
+                                # renormalization factor (reference
+                                # :565-594 per-k lm score + scaling)
+                                Vh = lp_h.shape[-1]
+                                lmh3 = lmh.reshape(A - 1, B, K, -1)
+                                wdt = min(Vh - 1, lmh3.shape[-1])
+                                lm_tok_h = jnp.take_along_axis(
+                                    lmh3,
+                                    jnp.maximum(toks_h - 1, 0)[..., None],
+                                    axis=3,
+                                )[..., 0]
+                                lab_h = lp_h.at[..., blank].set(NEG_INF)
+                                shifted_h = jnp.full(
+                                    lp_h.shape, NEG_INF, jnp.float32
+                                )
+                                shifted_h = shifted_h.at[
+                                    ..., 1 : 1 + wdt
+                                ].set(lmh3[..., :wdt])
+                                fused_h = lab_h + lm_weight * jnp.maximum(
+                                    shifted_h, NEG_INF
+                                )
+                                fac_h = jax.nn.logsumexp(
+                                    lab_h, axis=-1
+                                ) - jax.nn.logsumexp(fused_h, axis=-1)
+                                term_h = (
+                                    lp_tok_h
+                                    + lm_weight * lm_tok_h
+                                    + fac_h
+                                )
                             # cum[m] = sum of history terms 0..m
-                            cum_h = jnp.cumsum(lp_tok_h, axis=0)
+                            cum_h = jnp.cumsum(term_h, axis=0)
 
-                        if lm_adapter is not None and lm_weight != 0.0:
+                        if has_lm_bias:
                             _, cached_lp0 = exp_lm
                             lm_lp2 = cached_lp0.reshape(B, K, -1)
 
@@ -435,17 +536,25 @@ class TransducerBeamSearchDecoder:
                             ) + row_tok_lp(src, tok0)
                             if d >= 2:
                                 contrib = contrib + cum_h[d - 2]
-                            if lm_adapter is not None and lm_weight != 0.0:
-                                # shallow-fusion term, blank-less index shift
-                                # (matches the expansion rounds' fusion)
+                            if has_lm_bias:
+                                # shallow-fusion term, blank-less index
+                                # shift, plus the SOURCE row's
+                                # renormalization factor (matches the
+                                # expansion rounds' fusion; reference
+                                # :516-545 first-extension-token scoring)
                                 lm_tok = jnp.maximum(tok0 - 1, 0)
                                 lm_rows = jnp.take_along_axis(
                                     lm_lp2, src[:, :, None], axis=1
                                 )
-                                contrib = contrib + lm_weight * (
-                                    jnp.take_along_axis(
+                                contrib = (
+                                    contrib
+                                    + lm_weight
+                                    * jnp.take_along_axis(
                                         lm_rows, lm_tok[:, :, None], axis=2
                                     )[..., 0]
+                                    + jnp.take_along_axis(
+                                        lm_factor_j, src, axis=1
+                                    )
                                 )
                             mass = jnp.logaddexp(
                                 mass, jnp.where(has, contrib, NEG_INF)
@@ -454,7 +563,7 @@ class TransducerBeamSearchDecoder:
                         if use_fused:
                             # candidate values/top-k fold the scores inside
                             # the kernel — re-run it with the merged scores
-                            blank_lp_f, fused_vals, fused_idx = fused_joint_topk(
+                            res = fused_joint_topk(
                                 enc_t,
                                 exp_feat,
                                 exp_scores,
@@ -463,9 +572,14 @@ class TransducerBeamSearchDecoder:
                                 blank=blank,
                                 eos=eos,
                                 fold_eos_into_blank=predicts_eos,
+                                label_bias=lm_label_bias(exp_lm),
                                 interpret=fused_interpret,
                                 **joint_w,
                             )
+                            if has_lm_bias:
+                                blank_lp_f, fused_vals, fused_idx, _ = res
+                            else:
+                                blank_lp_f, fused_vals, fused_idx = res
                             blank_scores = exp_scores + blank_lp_f
                         else:
                             blank_scores = exp_scores + lprobs[:, :, blank]
@@ -566,22 +680,13 @@ class TransducerBeamSearchDecoder:
                     if use_fused:
                         top_cand, cand_idx = fused_vals, fused_idx
                     else:
-                        label_lp = lprobs.at[:, :, blank].set(NEG_INF)
-                        if lm_adapter is not None and lm_weight != 0.0:
-                            _, cached_lp = exp_lm
-                            lm_lp = cached_lp.reshape(B, K, -1)
-                            # shift LM vocab right by 1: model v>=1 <- LM v-1
-                            V_model = label_lp.shape[-1]
-                            shifted = jnp.full(
-                                (B, K, V_model), NEG_INF, jnp.float32
-                            )
-                            width = min(V_model - 1, lm_lp.shape[-1])
-                            shifted = shifted.at[:, :, 1 : 1 + width].set(
-                                lm_lp[..., :width]
-                            )
-                            label_lp = label_lp + lm_weight * jnp.maximum(
-                                shifted, NEG_INF
-                            )
+                        # LM-fused label log-probs (shift + renormalize)
+                        # were built at the round top
+                        label_lp = (
+                            label_lp_lm
+                            if label_lp_lm is not None
+                            else lprobs.at[:, :, blank].set(NEG_INF)
+                        )
                         cand = (exp_scores[..., None] + label_lp).reshape(
                             B, K * V
                         )
@@ -621,9 +726,10 @@ class TransducerBeamSearchDecoder:
                         exp_lm = reorder(exp_lm)
                     if A >= 1:
                         # prefix-merge rings: push the new token (and, for
-                        # depth >= 2, the pre-advance prediction feature)
+                        # depth >= 2, the pre-advance prediction feature +
+                        # the pre-advance cached LM log-probs under fusion)
                         live_pm = (keep_scores > NEG_INF / 2).reshape(-1)
-                        sl_e, th_e, fh_e = exp_pm
+                        sl_e, th_e, fh_e, lmh_e = exp_pm
                         sl_e = jnp.take(sl_e, flat_beam)
                         th_e = jnp.take(th_e, flat_beam, axis=0)
                         sl_e = jnp.where(live_pm, sl_e + 1, sl_e)
@@ -643,7 +749,19 @@ class TransducerBeamSearchDecoder:
                                 ),
                                 fh_g,
                             )
-                        exp_pm = (sl_e, th_e, fh_e)
+                        if lmh_e is not None:
+                            # exp_lm was reordered by flat_beam above and
+                            # not yet advanced: its cached log-probs are
+                            # exactly the ones that scored new_tok
+                            lmh_g = jnp.take(lmh_e, flat_beam, axis=1)
+                            lmh_e = jnp.where(
+                                live_pm[None, :, None],
+                                jnp.concatenate(
+                                    [exp_lm[1][None], lmh_g[:-1]], axis=0
+                                ),
+                                lmh_g,
+                            )
+                        exp_pm = (sl_e, th_e, fh_e, lmh_e)
                     # advance prediction net with the new labels
                     new_feat, new_carry = model.apply(
                         variables,

@@ -21,8 +21,10 @@ lane shape casts are unsupported), so scores arrive pre-flattened [BK, 1],
 the blank column is a static slice, and the per-utterance top-k statically
 unrolls over the block's utterances on [K, V] sub-tiles.
 
-Used by TransducerBeamSearchDecoder on the TPU no-LM path; the pure-jnp
-path remains for CPU/LM/odd shapes and is the numerical reference in tests.
+Used by TransducerBeamSearchDecoder on the TPU path, with or without
+shallow LM fusion (the LM term rides in as an additive label-bias tile and
+is renormalized in-kernel); the pure-jnp path remains for CPU/odd shapes
+and is the numerical reference in tests.
 """
 
 from __future__ import annotations
@@ -38,13 +40,15 @@ NEG_INF = -1.0e9
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16 MB core VMEM
 
 
-def _kernel_vmem_bytes(bb: int, K: int, V: int, J: int, H: int) -> int:
+def _kernel_vmem_bytes(
+    bb: int, K: int, V: int, J: int, H: int, has_bias: bool = False
+) -> int:
     rows = bb * K
     weights = (H * J + J * V + 3 * J + V) * 4  # held as f32 worst case
     acts = rows * (J + H + 1) * 4
     # logits/lp/masked/work live as [rows, V] f32 (compiler may overlap;
-    # budget the worst case)
-    wide = 4 * rows * V * 4
+    # budget the worst case); the LM label-bias tile adds one more
+    wide = (5 if has_bias else 4) * rows * V * 4
     return weights + acts + wide
 
 
@@ -54,22 +58,28 @@ def _pick_bb(
     V: Optional[int] = None,
     J: Optional[int] = None,
     H: Optional[int] = None,
+    has_bias: bool = False,
 ) -> Optional[int]:
     for bb in (16, 8, 4, 2, 1):
         if B % bb != 0:
             continue
-        if V is not None and _kernel_vmem_bytes(bb, K, V, J, H) > _VMEM_BUDGET:
+        if V is not None and (
+            _kernel_vmem_bytes(bb, K, V, J, H, has_bias) > _VMEM_BUDGET
+        ):
             continue
         return bb
     return None
 
 
-def supports_fused_joint_topk(B: int, K: int, V: int, J: int, H: int) -> bool:
+def supports_fused_joint_topk(
+    B: int, K: int, V: int, J: int, H: int, has_bias: bool = False
+) -> bool:
     """Shape gate for the kernel: lane alignment, batch tiling, and a VMEM
     budget so large-vocab joints fall back to the jnp path instead of
-    failing Mosaic compilation."""
+    failing Mosaic compilation. ``has_bias`` sizes in the LM shallow-fusion
+    label-bias tile."""
     return (
-        _pick_bb(B, K, V, J, H) is not None
+        _pick_bb(B, K, V, J, H, has_bias) is not None
         and V % 128 == 0
         and J % 128 == 0
         and H % 128 == 0
@@ -92,11 +102,22 @@ def fused_joint_topk(
     blank: int = 0,
     eos: Optional[int] = None,
     fold_eos_into_blank: bool = False,
+    label_bias: Optional[jnp.ndarray] = None,  # [B*K, V] f32
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (blank_lp [B, K] f32, top_vals [B, n_cand] f32 of
     scores+label_lp sorted descending, top_idx [B, n_cand] i32 flat indices
-    into [K*V])."""
+    into [K*V]).
+
+    ``label_bias`` is an additive per-row vocab bias folded into the label
+    candidates only (blank_lp stays pure joint) — the LM shallow-fusion
+    term, pre-shifted to model vocab indices and pre-scaled by lm_weight
+    (reference transducer_base_decoder.py:85-104). The biased label probs
+    are renormalized per row so the total non-blank mass is unchanged (the
+    reference's log_scaling_factor,
+    transducer_beam_search_decoder.py:311-322); with a bias the return is a
+    4-tuple whose last element is that factor [B, K] f32 (reused by the
+    prefix merge)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -105,12 +126,16 @@ def fused_joint_topk(
     V = w_out.shape[1]
     B = scores.shape[0]
     assert BK == B * K
-    bb = _pick_bb(B, K, V, J, H)
+    bb = _pick_bb(B, K, V, J, H, label_bias is not None)
     assert bb is not None, "shape over VMEM budget — use the jnp path"
     rows = bb * K
 
     def kernel(enc_ref, feat_ref, sc_ref, wd_ref, bd_ref, lns_ref, lnb_ref,
-               wo_ref, bo_ref, blank_ref, vals_ref, idx_ref):
+               wo_ref, bo_ref, *rest):
+        if label_bias is not None:
+            bias_ref, blank_ref, vals_ref, idx_ref, factor_ref = rest
+        else:
+            blank_ref, vals_ref, idx_ref = rest
         f = feat_ref[:].astype(jnp.float32)
         d = jax.lax.dot_general(
             f, wd_ref[:].astype(jnp.float32),
@@ -139,6 +164,22 @@ def fused_joint_topk(
         masked = jnp.where(cols == blank, NEG_INF, lp)
         if fold_eos_into_blank and eos is not None:
             masked = jnp.where(cols == eos, NEG_INF, masked)
+        if label_bias is not None:
+            # LM shallow fusion: additive, labels only (blank_lp above is
+            # already stored un-biased), renormalized so the total
+            # non-blank probability mass is unchanged (the reference's
+            # log_scaling_factor, transducer_beam_search_decoder.py:311-322)
+            fused = masked + bias_ref[:]
+            m1 = jnp.max(masked, axis=1, keepdims=True)
+            s1 = m1 + jnp.log(
+                jnp.sum(jnp.exp(masked - m1), axis=1, keepdims=True)
+            )
+            m2 = jnp.max(fused, axis=1, keepdims=True)
+            s2 = m2 + jnp.log(
+                jnp.sum(jnp.exp(fused - m2), axis=1, keepdims=True)
+            )
+            factor_ref[:] = s1 - s2
+            masked = fused + (s1 - s2)
         work = sc_ref[:].astype(jnp.float32) + masked  # [rows, V]
         # vectorized per-ROW exact top-n_cand (lane reduces, no sort, no
         # scalar serialization); the exact per-utterance top-n_cand is a
@@ -157,36 +198,18 @@ def fused_joint_topk(
             work = jnp.where(cols == first, 2.0 * NEG_INF, work)
 
     grid = (B // bb,)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((rows, J), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((J, V), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (rows, n_cand), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (rows, n_cand), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((BK, 1), jnp.float32),
-            jax.ShapeDtypeStruct((BK, n_cand), jnp.float32),
-            jax.ShapeDtypeStruct((BK, n_cand), jnp.int32),
-        ),
-        interpret=interpret,
-    )(
+    in_specs = [
+        pl.BlockSpec((rows, J), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, J), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((J, V), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, V), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [
         enc_t,
         feat,
         scores.astype(jnp.float32).reshape(BK, 1),
@@ -196,8 +219,41 @@ def fused_joint_topk(
         ln_bias.reshape(1, -1),
         w_out,
         b_out.reshape(1, -1),
-    )
-    blank_flat, row_vals, row_idx = out
+    ]
+    out_specs = [
+        pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (rows, n_cand), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (rows, n_cand), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((BK, 1), jnp.float32),
+        jax.ShapeDtypeStruct((BK, n_cand), jnp.float32),
+        jax.ShapeDtypeStruct((BK, n_cand), jnp.int32),
+    ]
+    if label_bias is not None:
+        in_specs.append(
+            pl.BlockSpec((rows, V), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        inputs.append(label_bias.astype(jnp.float32))
+        # per-row LM renormalization factor (see kernel): the prefix merge
+        # reuses it per source row instead of re-materializing [BK, V]
+        out_specs.append(
+            pl.BlockSpec((rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((BK, 1), jnp.float32))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*inputs)
+    blank_flat, row_vals, row_idx = out[0], out[1], out[2]
     # exact per-utterance top-n_cand from the per-row winners (tiny top_k
     # over K*n_cand instead of a K*V sort inside the decode loop)
     row_flat = (
@@ -206,6 +262,8 @@ def fused_joint_topk(
     ).reshape(B, K * n_cand)
     vals, pos = jax.lax.top_k(row_vals.reshape(B, K * n_cand), n_cand)
     idx = jnp.take_along_axis(row_flat, pos, axis=1)
+    if label_bias is not None:
+        return blank_flat.reshape(B, K), vals, idx, out[3].reshape(B, K)
     return blank_flat.reshape(B, K), vals, idx
 
 

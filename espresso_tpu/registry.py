@@ -88,6 +88,36 @@ def apply_architecture(arch_name: str, model_cfg) -> str:
     return arch_name
 
 
+def import_user_module(module_path: str) -> None:
+    """Import a user plugin directory (reference fairseq/utils.py:487-528
+    ``import_user_module``): the directory is imported as a Python package
+    so its ``__init__`` can register external tasks/models/criterions/
+    optimizers/schedulers against the registries above (the reference's
+    ``--user-dir`` extension point). Idempotent per directory; importing a
+    second directory whose basename collides with an already-imported one
+    raises, matching the reference."""
+    import importlib
+    import os
+    import sys
+
+    module_path = os.path.abspath(module_path)
+    if not os.path.isdir(module_path):
+        raise FileNotFoundError(
+            f"common.user_dir={module_path} is not a directory"
+        )
+    module_parent, module_name = os.path.split(module_path)
+    if module_name not in sys.modules:
+        sys.path.insert(0, module_parent)
+        importlib.import_module(module_name)
+    elif module_path not in list(
+        getattr(sys.modules[module_name], "__path__", [])
+    ):
+        raise ImportError(
+            f"failed to import common.user_dir={module_path}: module name "
+            f"{module_name!r} is not globally unique; rename the directory"
+        )
+
+
 def dataclass_from_dict(cls: Type, data: Dict[str, Any]):
     """Recursively build a dataclass from a (possibly nested) dict."""
     if not dataclasses.is_dataclass(cls):

@@ -823,3 +823,204 @@ def test_transducer_full_structure():
     g = sd["fc_out.weight_g"].numpy()
     kern = params["joint"]["fc_out"]["kernel"]
     assert np.allclose(np.linalg.norm(kern, axis=0), np.abs(g[:, 0]), atol=1e-5)
+
+
+def test_conformer_transducer_decode_hypothesis_parity():
+    """VERDICT r2 item 5: decode-level conversion parity. Fabricate a
+    reference conformer-transducer checkpoint, convert it, and decode the
+    same batch two ways:
+
+      greedy — our TransducerGreedyDecoder vs a torch loop implementing the
+               reference's greedy semantics (transducer_greedy_decoder.py
+               :143-252: argmax per expansion, up to n_exp labels per
+               frame, pred net advances only on label emissions);
+      beam   — our AES beam search vs the brute-force oracle implementing
+               the reference beam semantics (tests/test_transducer_beam_
+               oracle.oracle_aes over the SAME torch forward).
+
+    Token sequences must be identical, so the ≤0.1 WER-delta claim rests on
+    decode behavior, not just logits parity
+    (tests above check the lattice elementwise)."""
+    torch.manual_seed(7)
+    D, H, FFN, K, V, F, E, P, J = 16, 4, 32, 5, 11, 8, 8, 12, 16
+    B, T, LAYERS = 3, 12, 1
+    blank, n_exp = 0, 2
+
+    conv = tnn.Conv2d(1, 4, (3, 3), stride=(2, 2), padding=(1, 1))
+    bn0 = tnn.BatchNorm2d(4)
+    bn0.running_mean.uniform_(-0.3, 0.3)
+    bn0.running_var.uniform_(0.7, 1.3)
+    bn0.weight.data.uniform_(0.7, 1.3)
+    bn0.bias.data.uniform_(-0.3, 0.3)
+    bn0.eval()
+    fc0 = tnn.Linear(4 * ((F + 1) // 2), D)
+    layers = [_TorchConformerLayer(D, H, FFN, K) for _ in range(LAYERS)]
+    enc_ln = tnn.LayerNorm(D)
+    embed = tnn.Embedding(V, E)
+    cell0 = tnn.LSTMCell(E, P)
+    cell1 = tnn.LSTMCell(P, P)
+    proj_enc, proj_dec = tnn.Linear(D, J), tnn.Linear(P, J)
+    ln_enc, ln_dec = tnn.LayerNorm(J), tnn.LayerNorm(J)
+    wn_g = torch.randn(V, 1).abs() + 0.3
+    wn_v = torch.randn(V, J) * 0.2
+    wn_b = torch.randn(V) * 0.1
+
+    sd = {
+        "encoder.pre_encoder.convolutions.0.weight": conv.weight,
+        "encoder.pre_encoder.convolutions.0.bias": conv.bias,
+        "encoder.pre_encoder.batchnorms.0.weight": bn0.weight,
+        "encoder.pre_encoder.batchnorms.0.bias": bn0.bias,
+        "encoder.pre_encoder.batchnorms.0.running_mean": bn0.running_mean,
+        "encoder.pre_encoder.batchnorms.0.running_var": bn0.running_var,
+        "encoder.fc0.weight": fc0.weight,
+        "encoder.fc0.bias": fc0.bias,
+        "encoder.layer_norm.weight": enc_ln.weight,
+        "encoder.layer_norm.bias": enc_ln.bias,
+        "decoder.embed_tokens.weight": embed.weight,
+        "proj_encoder.weight": proj_enc.weight,
+        "proj_encoder.bias": proj_enc.bias,
+        "laynorm_proj_encoder.weight": ln_enc.weight,
+        "laynorm_proj_encoder.bias": ln_enc.bias,
+        "proj_decoder.weight": proj_dec.weight,
+        "proj_decoder.bias": proj_dec.bias,
+        "laynorm_proj_decoder.weight": ln_dec.weight,
+        "laynorm_proj_decoder.bias": ln_dec.bias,
+        "fc_out.weight_g": wn_g,
+        "fc_out.weight_v": wn_v,
+        "fc_out.bias": wn_b,
+    }
+    for i, cell in enumerate((cell0, cell1)):
+        sd[f"decoder.layers.{i}.weight_ih"] = cell.weight_ih
+        sd[f"decoder.layers.{i}.weight_hh"] = cell.weight_hh
+        sd[f"decoder.layers.{i}.bias_ih"] = cell.bias_ih
+        sd[f"decoder.layers.{i}.bias_hh"] = cell.bias_hh
+    for i, layer in enumerate(layers):
+        layer.state_into(sd, f"encoder.layers.{i}")
+
+    # full lengths for every row: the torch twin runs the conformer without
+    # an attention padding mask (same constraint as the logits-parity test
+    # above); varying-length decode is covered by the oracle tests
+    x = torch.randn(B, T, F) * 1.5
+    lengths = np.array([T, T, T])
+
+    # ---- torch reference forward pieces ----
+    with torch.no_grad():
+        h = tF.relu(bn0(conv(x.view(B, T, 1, F).transpose(1, 2))))
+        Tc = h.size(2)
+        h = h.transpose(1, 2).contiguous().view(B, Tc, -1)
+        h = fc0(h)
+        pos_emb = _espnet_pos_emb(Tc, D)
+        for layer in layers:
+            h = layer.forward(h, pos_emb)
+        enc_out = enc_ln(h).numpy()  # [B, Tc, D]
+        w_eff = (wn_g * wn_v / torch.norm(wn_v, dim=1, keepdim=True)).numpy()
+        wn_b_np = wn_b.numpy()
+    # subsampled lengths (stride-2 conv, ceil)
+    enc_lens = (lengths + 1) // 2
+
+    class TorchTwin:
+        """np_pred_step/np_logits shim over the torch modules for the
+        oracle; state is the (h0, c0, h1, c1) LSTM tuple."""
+
+        def np_pred_step(self, token, state):
+            h0, c0, h1, c1 = state
+            with torch.no_grad():
+                e = embed(torch.tensor([token]))
+                h0t, c0t = cell0(
+                    e, (torch.tensor(h0[None]), torch.tensor(c0[None]))
+                )
+                h1t, c1t = cell1(
+                    h0t, (torch.tensor(h1[None]), torch.tensor(c1[None]))
+                )
+            return h1t[0].numpy(), (
+                h0t[0].numpy(), c0t[0].numpy(), h1t[0].numpy(), c1t[0].numpy(),
+            )
+
+        def np_logits(self, enc_t, feat):
+            with torch.no_grad():
+                ej = ln_enc(proj_enc(torch.tensor(enc_t)))
+                dj = ln_dec(proj_dec(torch.tensor(feat)))
+                pre = tF.relu(ej + dj).numpy()
+            return pre @ w_eff.T + wn_b_np
+
+    twin = TorchTwin()
+    twin.V = V  # class bodies can't close over the enclosing scope
+    zeros_state = tuple(np.zeros(P, np.float32) for _ in range(4))
+
+    def ref_greedy(b):
+        """Reference greedy loop (transducer_greedy_decoder.py:143-252),
+        single utterance."""
+        feat, state = twin.np_pred_step(blank, zeros_state)
+        toks = []
+        for t in range(int(enc_lens[b])):
+            for _ in range(n_exp):
+                lp = twin.np_logits(enc_out[b, t], feat)
+                k = int(np.argmax(lp))
+                if k == blank:
+                    break
+                toks.append(k)
+                feat, state = twin.np_pred_step(k, state)
+        return toks
+
+    from espresso_tpu.cli.convert_espresso_checkpoint import (
+        convert_speech_transformer_transducer,
+    )
+    from espresso_tpu.data.dictionary import AsrDictionary
+    from espresso_tpu.decode.transducer_beam import TransducerBeamSearchDecoder
+    from espresso_tpu.decode.transducer_greedy import TransducerGreedyDecoder
+    from espresso_tpu.models.speech_transformer import SpeechTransformerConfig
+    from espresso_tpu.models.transducer import TransducerConfig, TransducerModel
+
+    params, batch_stats = convert_speech_transformer_transducer(sd)
+    cfg = TransducerConfig(
+        feat_dim=F, vocab_size=V,
+        encoder=SpeechTransformerConfig(
+            feat_dim=F, vocab_size=V,
+            conv_channels=(4,), conv_kernel_sizes=((3, 3),),
+            conv_strides=((2, 2),), conv_norm_type="batch",
+            encoder_layer_type="conformer", encoder_pos_type="relative",
+            encoder_embed_dim=D, encoder_ffn_dim=FFN, encoder_layers=LAYERS,
+            encoder_heads=H, depthwise_conv_kernel_size=K,
+            conformer_norm_type="batch", dropout=0.0,
+        ),
+        pred_embed_dim=E, pred_hidden_size=P, pred_layers=2,
+        joint_dim=J, pred_dropout=0.0,
+    )
+    model = TransducerModel(cfg)
+    variables = {"params": params, "batch_stats": batch_stats}
+    d = AsrDictionary(enable_bos=True)
+    for i in range(V - 4):
+        d.add_symbol(f"u{i}")
+    batch = {
+        "src_frames": jnp.asarray(x.numpy()),
+        "src_lengths": jnp.asarray(lengths.astype(np.int32)),
+    }
+
+    # ---- greedy parity ----
+    greedy = TransducerGreedyDecoder(
+        model, d, max_num_expansions_per_step=n_exp, max_out_factor=1.0
+    )
+    got_g = greedy.decode(variables, batch)
+    for b in range(B):
+        assert list(got_g[b][0]["tokens"]) == ref_greedy(b), b
+
+    # ---- beam parity (reference AES semantics via the oracle) ----
+    from tests.test_transducer_beam_oracle import oracle_aes
+
+    Kb, beta, gamma = 2, 1, 6.0
+    beam = TransducerBeamSearchDecoder(
+        model, d, beam_size=Kb, expansion_beta=beta, expansion_gamma=gamma,
+        max_num_expansions_per_step=n_exp, prefix_alpha=1, max_out_factor=1.0,
+    )
+    got_b = beam.decode(variables, batch)
+    for b in range(B):
+        ref = oracle_aes(
+            twin, enc_out[b], int(enc_lens[b]), Kb, beta, gamma, n_exp,
+            prefix_alpha=1, init_state=zeros_state,
+        )
+        assert len(got_b[b]) == len(ref)
+        for g, r in zip(got_b[b], ref):
+            assert tuple(g["tokens"]) == r["seq"], (b, g["tokens"], r["seq"])
+            assert abs(g["score"] - r["score"]) < 2e-3, (
+                b, g["score"], r["score"],
+            )

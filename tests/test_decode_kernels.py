@@ -201,3 +201,113 @@ def test_aes_merge_matches_jnp_semantics():
     np.testing.assert_array_equal(np.asarray(nh), np.asarray(hash_ref))
     np.testing.assert_array_equal(np.asarray(nv), np.asarray(ver_ref))
     np.testing.assert_array_equal(np.asarray(ns), np.asarray(slot_ref))
+
+
+def test_fused_joint_topk_label_bias():
+    """LM shallow-fusion bias: folded into the label candidates only with
+    the mass-preserving renormalization factor (reference
+    transducer_beam_search_decoder.py:311-322); blank_lp stays pure joint
+    and the factor comes back as the 4th output."""
+    rng = np.random.default_rng(4)
+    p = _params(rng)
+    enc_t = jnp.asarray(rng.standard_normal((B * K, J)), jnp.float32)
+    feat = jnp.asarray(rng.standard_normal((B * K, H)), jnp.float32)
+    scores = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((B * K, V)) * 2.0, jnp.float32)
+    n_cand = 6
+    blank_lp, vals, idx, factor = fused_joint_topk(
+        enc_t, feat, scores, K=K, n_cand=n_cand, blank=0, label_bias=bias,
+        interpret=True, **p
+    )
+    ref_blank, _ = _reference(enc_t, feat, scores, p)
+    # blank output is NOT biased
+    np.testing.assert_allclose(
+        np.asarray(blank_lp), np.asarray(ref_blank), atol=1e-4
+    )
+    # candidates ARE biased + renormalized: rebuild the reference
+    d = feat.astype(jnp.float32) @ p["w_dec"] + p["b_dec"]
+    mu = d.mean(1, keepdims=True)
+    var = ((d - mu) ** 2).mean(1, keepdims=True)
+    d = (d - mu) * jax.lax.rsqrt(var + 1e-6) * p["ln_scale"] + p["ln_bias"]
+    h = jnp.maximum(enc_t.astype(jnp.float32) + d, 0.0)
+    lp = jax.nn.log_softmax(h @ p["w_out"] + p["b_out"], axis=-1)
+    lab = lp.at[:, 0].set(-1e9)
+    fused = lab + bias
+    fac_ref = jax.nn.logsumexp(lab, axis=-1) - jax.nn.logsumexp(
+        fused, axis=-1
+    )
+    np.testing.assert_allclose(
+        np.asarray(factor).reshape(-1), np.asarray(fac_ref), atol=1e-4
+    )
+    label = fused + fac_ref[:, None]
+    cand = (scores.reshape(-1, 1) + label).reshape(B, K * V)
+    rv, ri = jax.lax.top_k(cand, n_cand)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+
+
+def test_decoder_fused_lm_path_matches_legacy():
+    """Full AES decode WITH shallow LM fusion: the fused kernel path
+    (interpret mode, LM bias tile) must equal the pure-jnp LM path — the
+    reference's flagship decode configuration (run.sh:266-290 uses LM
+    fusion everywhere), which round 2 silently dropped to jnp."""
+    from espresso_tpu.data.dictionary import AsrDictionary
+    from espresso_tpu.decode.transducer_beam import TransducerBeamSearchDecoder
+    from espresso_tpu.models.lstm_lm import LSTMLanguageModel, LSTMLMConfig
+    from espresso_tpu.models.speech_transformer import SpeechTransformerConfig
+    from espresso_tpu.models.transducer import TransducerConfig, TransducerModel
+
+    Vv = 128
+    cfg = TransducerConfig(
+        feat_dim=8,
+        vocab_size=Vv,
+        encoder=SpeechTransformerConfig(
+            feat_dim=8,
+            vocab_size=Vv,
+            encoder_embed_dim=16,
+            encoder_ffn_dim=32,
+            encoder_layers=1,
+            encoder_heads=2,
+            conv_channels=(2,),
+            conv_kernel_sizes=((3, 3),),
+            conv_strides=((2, 2),),
+            conv_norm_type="layer",
+            dropout=0.0,
+        ),
+        pred_embed_dim=16,
+        pred_hidden_size=128,
+        pred_layers=1,
+        pred_dropout=0.0,
+        joint_dim=128,
+    )
+    model = TransducerModel(cfg)
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.standard_normal((4, 12, 8)), jnp.float32)
+    lengths = jnp.asarray([12, 12, 9, 6])
+    prev = jnp.asarray(rng.integers(3, Vv, (4, 3)), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), frames, lengths, prev)
+    d = AsrDictionary(enable_bos=True)
+    for i in range(Vv - 5):
+        d.add_symbol(f"u{i}")
+    lm = LSTMLanguageModel(LSTMLMConfig(
+        vocab_size=Vv - 1, embed_dim=8, hidden_size=8, out_embed_dim=8,
+        num_layers=1, dropout=0.0,
+    ))
+    lm_vars = lm.init(jax.random.PRNGKey(1), jnp.zeros((2, 3), jnp.int32))
+    batch = {"src_frames": frames, "src_lengths": lengths}
+
+    outs = {}
+    for mode in ("off", "interpret"):
+        dec = TransducerBeamSearchDecoder(
+            model, d, beam_size=4, expansion_beta=2, expansion_gamma=4.0,
+            max_num_expansions_per_step=2, fused_kernel=mode,
+            lm=lm, lm_weight=0.4, lm_variables=lm_vars,
+        )
+        outs[mode] = dec.decode(variables, batch)
+    for b in range(4):
+        assert len(outs["off"][b]) == len(outs["interpret"][b])
+        for h0, h1 in zip(outs["off"][b], outs["interpret"][b]):
+            assert np.array_equal(h0["tokens"], h1["tokens"]), (
+                b, h0["tokens"], h1["tokens"],
+            )
+            assert abs(h0["score"] - h1["score"]) < 1e-3

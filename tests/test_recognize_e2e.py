@@ -48,6 +48,7 @@ def test_train_then_recognize(tmp_path):
         + [
             "generation.beam=4",
             "generation.max_len_b=30",
+            "generation.print_alignment=true",
             f"generation.results_path={d}/decode",
         ]
     )
@@ -57,6 +58,13 @@ def test_train_then_recognize(tmp_path):
         assert os.path.exists(os.path.join(d, "decode", name)), name
     wer_text = open(os.path.join(d, "decode", "wer")).read()
     assert wer_text.startswith("WER:")
+    # --print-alignment artifacts: exact matrices + rendered heatmaps
+    # (reference speech_recognize.py:265-314)
+    attn = np.load(os.path.join(d, "decode", "attn.npz"))
+    assert len(attn.files) > 0
+    plots = os.listdir(os.path.join(d, "decode", "attn_plots"))
+    assert len(plots) == len(attn.files)
+    assert all(p.endswith(".pdf") for p in plots)
 
 
 def test_interactive_cli(tmp_path, capsys):
@@ -111,3 +119,98 @@ def test_interactive_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert out.count("S-") == 2
     assert out.count("H-") == 4  # nbest=2 per utterance
+
+
+TRANSDUCER_ARGS = [
+    "dataset.max_tokens=1600",
+    "dataset.num_batch_buckets=1",
+    "dataset.required_batch_size_multiple=2",
+    "dataset.feat_dim=8",
+    "model.name=speech_transformer_transducer",
+    "model.encoder.conv_channels=(4,)",
+    "model.encoder.conv_kernel_sizes=((3,3),)",
+    "model.encoder.conv_strides=((2,2),)",
+    "model.encoder.encoder_embed_dim=16",
+    "model.encoder.encoder_ffn_dim=32",
+    "model.encoder.encoder_layers=1",
+    "model.encoder.encoder_heads=2",
+    "model.encoder.dropout=0.0",
+    "model.pred_embed_dim=8",
+    "model.pred_hidden_size=16",
+    "model.pred_layers=1",
+    "model.pred_dropout=0.0",
+    "model.joint_dim=16",
+    "criterion.name=transducer_loss",
+    "optimization.lr=0.003",
+    "common.dtype=float32",
+]
+
+
+def test_recognize_with_lm_fusion_e2e(tmp_path):
+    """Full LM-fusion pipeline through the public CLIs (the reference's
+    flagship decode mode, examples/asr_librispeech/run.sh:266-290): train a
+    transducer, train a subword LSTM LM on the corpus text
+    (language_modeling_for_asr), then recognize with generation.lm_path +
+    lm_weight (renormalized shallow fusion inside the AES beam search)."""
+    import json as _json
+
+    from espresso_tpu.cli.speech_recognize import main as rec_main
+    from espresso_tpu.cli.train import main as train_main
+    from espresso_tpu.data.encoders import CharactersAsr
+
+    d = str(tmp_path)
+    make_corpus(d, "train", num_utts=12, feat_dim=8, seed=0, max_words=3)
+    make_corpus(d, "valid", num_utts=6, feat_dim=8, seed=1, max_words=3)
+    shutil.copy(f"{d}/train.json", f"{d}/test.json")
+
+    # LM text: char-tokenized corpus transcripts (the recipes' Stage "prep
+    # LM data" cut of the text column, run.sh:62)
+    tok = CharactersAsr()
+    for split in ("train", "valid"):
+        with open(os.path.join(d, f"{split}.json")) as f:
+            manifest = _json.load(f)
+        with open(os.path.join(d, f"lm_{split}.txt"), "w") as f:
+            for entry in manifest.values():
+                f.write(tok.encode(entry["text"]) + "\n")
+
+    train_main(
+        [f"dataset.data={d}", f"checkpoint.save_dir={d}/ckpt"]
+        + TRANSDUCER_ARGS
+        + ["optimization.max_epoch=2"]
+    )
+    train_main(
+        [
+            f"dataset.data={d}",
+            f"checkpoint.save_dir={d}/lm",
+            "task.name=language_modeling_for_asr",
+            "dataset.train_subset=lm_train",
+            "dataset.valid_subset=lm_valid",
+            "dataset.max_tokens=256",
+            "dataset.required_batch_size_multiple=1",
+            "model.name=lstm_lm_espresso",
+            "model.embed_dim=8",
+            "model.hidden_size=16",
+            "model.out_embed_dim=8",
+            "model.num_layers=1",
+            "model.dropout=0.0",
+            "criterion.name=cross_entropy_v2",
+            "optimization.max_epoch=1",
+            "optimization.lr=0.01",
+            "common.dtype=float32",
+        ]
+    )
+
+    res = rec_main(
+        [f"dataset.data={d}", f"checkpoint.save_dir={d}/ckpt"]
+        + TRANSDUCER_ARGS
+        + [
+            "generation.beam=4",
+            f"generation.lm_path={d}/lm",
+            "generation.lm_weight=0.4",
+            f"generation.results_path={d}/decode_lm",
+        ]
+    )
+    assert res["num_utts"] == 12
+    assert 0.0 <= res["wer"]
+    for name in ("decoded_results.txt", "wer", "aligned_results.txt"):
+        assert os.path.exists(os.path.join(d, "decode_lm", name)), name
