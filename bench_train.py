@@ -145,6 +145,15 @@ def main():
         xla_flops = float(compiled.cost_analysis()["flops"])
     except Exception:
         xla_flops = float("nan")
+    # XLA cost analysis cannot see inside Pallas custom calls; when the
+    # RNNT loss runs as Pallas kernels (the TPU default), add the joint
+    # lattice matmul FLOPs it hides: 1 logits pass forward + 3 matmul
+    # passes backward (logits recompute, g_W, g_pre)
+    from espresso_tpu.ops.rnnt_fused import PALLAS_MODE
+
+    if np.isfinite(xla_flops) and PALLAS_MODE in ("auto", "on"):
+        joint_fwd = B * (T // 4) * (U + 1) * 2 * J * VOCAB
+        xla_flops += 4 * joint_fwd
     ana_flops = float(
         analytic_flops(B, T, U, FEAT, D, FFN, LAYERS, HEADS, J, VOCAB,
                        PRED_LAYERS)

@@ -18,11 +18,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from espresso_tpu.models.base import EncoderOut, bound_param_dtype
-from espresso_tpu.models.speech_lstm import (
-    SpeechLSTMConfig,
-    scanned_decoder_step,
-)
+from espresso_tpu.models.base import EncoderOut
+from espresso_tpu.models.speech_lstm import SpeechLSTMConfig
+from espresso_tpu.modules.lstm import lstm_gates
 from espresso_tpu.models.speech_transformer import (
     SpeechTransformerConfig,
     SpeechTransformerEncoder,
@@ -54,6 +52,108 @@ class TransducerConfig:
     # joint
     joint_dim: int = 512
     pad_index: int = 1
+
+
+class _RecurrentKernel(nn.Module):
+    """Bias-free recurrent projection stored exactly like
+    ``nn.Dense(use_bias=False)`` (one param named ``kernel``) so existing
+    checkpoints and the espresso converter load unchanged, while exposing
+    the raw kernel array for use inside ``lax.scan`` bodies (a flax
+    submodule call can't cross a plain lax.scan boundary)."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x @ self.kernel
+
+
+class TransducerPredNet(nn.Module):
+    """Transducer prediction network — the reference's LM-mode LSTM decoder
+    (speech_lstm.py:838-887 via speech_transformer_transducer_base.py
+    :203-217) with the exact param tree of the scanned decoder step it
+    replaces (``predictor/{embed_tokens, cell{i}_ih, cell{i}_hh}`` —
+    checkpoint and converter compatible).
+
+    TPU-first split: ``sequence`` (teacher-forced training) hoists the
+    input-side gate projections of ALL steps into one MXU matmul per layer
+    ([B·U, E] x [E, 4H]) and scans only the tiny [B, H] x [H, 4H]
+    recurrence; the previous scanned-step path ran BOTH matmuls per step at
+    B=16 rows — latency-bound far below MXU peak (round-3 profile).
+    ``step`` is the single-token path used by greedy/AES decode."""
+
+    cfg: SpeechLSTMConfig
+    unroll: int = 8
+
+    def setup(self):
+        cfg = self.cfg
+        H = cfg.decoder_hidden_size
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.decoder_embed_dim)
+        self.cells_ih = [
+            nn.Dense(4 * H, name=f"cell{i}_ih")
+            for i in range(cfg.decoder_layers)
+        ]
+        self.cells_hh = [
+            _RecurrentKernel(H, 4 * H, name=f"cell{i}_hh")
+            for i in range(cfg.decoder_layers)
+        ]
+        self.drop = nn.Dropout(rate=cfg.dropout)
+
+    def step(self, carry, token: jnp.ndarray, train: bool = False):
+        """One step: carry (h [L,B,H], c [L,B,H], ctx [B,0], prev [B]),
+        token [B] -> (new_carry, feat [B, H])."""
+        cfg = self.cfg
+        h_prev, c_prev, context, _ = carry
+        x = self.embed_tokens(token)
+        if cfg.dropout > 0.0 and train:
+            x = self.drop(x, deterministic=False)
+        hs, cs = [], []
+        for i in range(cfg.decoder_layers):
+            pre = self.cells_ih[i](x) + self.cells_hh[i](h_prev[i])
+            hidden, cell = lstm_gates(pre, h_prev[i], c_prev[i])
+            hs.append(hidden)
+            cs.append(cell)
+            x = hidden
+            if cfg.dropout > 0.0 and train:
+                x = self.drop(x, deterministic=False)
+        return (jnp.stack(hs), jnp.stack(cs), context, token), x
+
+    def sequence(self, tokens: jnp.ndarray, train: bool = False):
+        """Teacher-forced features for all steps: [B, U] -> [B, U, H]."""
+        cfg = self.cfg
+        B, U = tokens.shape
+        H = cfg.decoder_hidden_size
+        x = self.embed_tokens(tokens)
+        if cfg.dropout > 0.0 and train:
+            x = self.drop(x, deterministic=False)
+        for i in range(cfg.decoder_layers):
+            x_proj = self.cells_ih[i](x)  # [B, U, 4H] — one MXU matmul
+            hh_kernel = self.cells_hh[i].kernel
+
+            def stepf(carry, xp_t):
+                h, c = carry
+                pre = xp_t + h @ hh_kernel
+                h_new, c_new = lstm_gates(pre, h, c)
+                return (h_new, c_new), h_new
+
+            zeros = jnp.zeros((B, H), x_proj.dtype)
+            _, hs = jax.lax.scan(
+                stepf,
+                (zeros, zeros),
+                jnp.moveaxis(x_proj, 1, 0),
+                unroll=min(self.unroll, U),
+            )
+            x = jnp.moveaxis(hs, 0, 1)
+            if cfg.dropout > 0.0 and train:
+                x = self.drop(x, deterministic=False)
+        return x
 
 
 class JointNetwork(nn.Module):
@@ -117,9 +217,7 @@ class TransducerModel(nn.Module):
             dropout=cfg.pred_dropout,
         )
         self.joint = JointNetwork(cfg.joint_dim, cfg.vocab_size, name="joint")
-        self.predictor = scanned_decoder_step(
-            self._pred_cfg, 0, compute_logits=False, name="predictor"
-        )
+        self.predictor = TransducerPredNet(self._pred_cfg, name="predictor")
 
     def init_pred_carry(self, batch_size: int, dtype=jnp.float32):
         cfg = self.cfg
@@ -134,16 +232,9 @@ class TransducerModel(nn.Module):
         self, prev_output_tokens: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         """Prediction-network features for all steps: [B, U, H] (the
-        reference feeds decoder.extract_features into the joint, :203-217)."""
-        B, U = prev_output_tokens.shape
-        carry = self.init_pred_carry(B, dtype=bound_param_dtype(self))
-        tokens_tm = jnp.moveaxis(prev_output_tokens, 1, 0)
-        dummy_enc = jnp.zeros((B, 1, 1))
-        dummy_mask = jnp.ones((B, 1), bool)
-        _, (_, feats_tm, _) = self.predictor(
-            carry, tokens_tm, jnp.zeros((U, B)), dummy_enc, dummy_mask, train, 1.0
-        )
-        return jnp.moveaxis(feats_tm, 0, 1)
+        reference feeds decoder.extract_features into the joint, :203-217).
+        Hoisted input projections — see TransducerPredNet.sequence."""
+        return self.predictor.sequence(prev_output_tokens, train=train)
 
     def __call__(
         self,
@@ -163,12 +254,8 @@ class TransducerModel(nn.Module):
 
     def pred_step(self, tokens: jnp.ndarray, carry):
         """One prediction-net step: tokens [B] -> (pred_feat [B, H], carry)."""
-        B = tokens.shape[0]
-        carry, (_, feat_tm, _) = self.predictor(
-            carry, tokens[None], jnp.zeros((1, B)), jnp.zeros((B, 1, 1)),
-            jnp.ones((B, 1), bool), False, 1.0,
-        )
-        return feat_tm[0], carry
+        carry, feat = self.predictor.step(carry, tokens, train=False)
+        return feat, carry
 
     def joint_step(self, enc_frame: jnp.ndarray, pred_feat: jnp.ndarray):
         """Joint on matched pairs: [B, D_e] x [B, H] -> [B, V] logits."""
