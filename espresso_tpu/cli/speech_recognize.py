@@ -235,6 +235,42 @@ def main(argv=None) -> Dict[str, float]:
 
     t0 = time.perf_counter()
     has_ref = False
+    # depth-1 decode pipeline: launch the next minibatch's device search
+    # before collecting (device->host transfer + host scoring of) the
+    # previous one — the transfer and the Python-side WER bookkeeping
+    # overlap the next batch's compute (generators without decode_async
+    # degrade to the synchronous loop)
+    can_pipeline = hasattr(generator, "decode_async")
+    pending = None
+
+    def consume(item):
+        nonlocal num_utts, num_tokens, has_ref
+        handle, mb, dec_mb, utt_ids = item
+        hypos = generator.collect(handle) if can_pipeline else handle
+        if cfg.generation.print_alignment:
+            collect_attention(dec_mb, hypos, utt_ids)
+        for b, hyp_list in enumerate(hypos):
+            if mb["weight"][b] <= 0:
+                continue
+            num_utts += 1
+            best = hyp_list[0]
+            num_tokens += len(best["tokens"])
+            hyp_str = task.dictionary.tokens_to_sentence(
+                task.dictionary.string(best["tokens"])
+            )
+            if cfg.generation.print_alignment:
+                hyp_strs[utt_ids[b]] = hyp_str
+            scorer.add_prediction(utt_ids[b], hyp_str)
+            if mb["tgt_lengths"][b] > 0:
+                has_ref = True
+                tgt = mb["target"][b][: mb["tgt_lengths"][b]]
+                ref_str = task.dictionary.tokens_to_sentence(
+                    task.dictionary.string(
+                        tgt, extra_symbols_to_ignore={task.dictionary.pad()}
+                    )
+                )
+                scorer.add_evaluation(utt_ids[b], ref_str, hyp_str)
+
     for group in itr:
         for i in range(group["prev_output_tokens"].shape[0]):
             mb = {
@@ -253,31 +289,16 @@ def main(argv=None) -> Dict[str, float]:
                 dec_vars, dec_mb = shard_for_decode(
                     decode_mesh, variables, dec_mb
                 )
-            hypos = generator.decode(dec_vars, dec_mb)
             utt_ids = group["utt_ids"][i]
-            if cfg.generation.print_alignment:
-                collect_attention(dec_mb, hypos, utt_ids)
-            for b, hyp_list in enumerate(hypos):
-                if mb["weight"][b] <= 0:
-                    continue
-                num_utts += 1
-                best = hyp_list[0]
-                num_tokens += len(best["tokens"])
-                hyp_str = task.dictionary.tokens_to_sentence(
-                    task.dictionary.string(best["tokens"])
-                )
-                if cfg.generation.print_alignment:
-                    hyp_strs[utt_ids[b]] = hyp_str
-                scorer.add_prediction(utt_ids[b], hyp_str)
-                if mb["tgt_lengths"][b] > 0:
-                    has_ref = True
-                    tgt = mb["target"][b][: mb["tgt_lengths"][b]]
-                    ref_str = task.dictionary.tokens_to_sentence(
-                        task.dictionary.string(
-                            tgt, extra_symbols_to_ignore={task.dictionary.pad()}
-                        )
-                    )
-                    scorer.add_evaluation(utt_ids[b], ref_str, hyp_str)
+            if can_pipeline:
+                handle = generator.decode_async(dec_vars, dec_mb)
+            else:
+                handle = generator.decode(dec_vars, dec_mb)
+            if pending is not None:
+                consume(pending)
+            pending = (handle, mb, dec_mb, utt_ids)
+    if pending is not None:
+        consume(pending)
     elapsed = time.perf_counter() - t0
     logger.info(
         "Recognized %d utterances in %.1fs (%.2f sentences/s, %.2f tokens/s)",

@@ -160,6 +160,12 @@ class TransducerBeamSearchDecoder:
         fused_mode = self.fused_kernel
 
         def run(variables, lm_variables, src_frames, src_lengths):
+            from espresso_tpu.ops.decode_kernels import (
+                lstm_step_reorder,
+                prep_lstm_kernel_inputs,
+                supports_lstm_step_reorder,
+            )
+
             B = src_frames.shape[0]
             BK = B * K
             # fused joint+softmax+topk Pallas path: extract raw joint
@@ -185,6 +191,7 @@ class TransducerBeamSearchDecoder:
                     )
                     from espresso_tpu.ops.decode_kernels import (
                         fused_joint_topk,
+                        rows_topk,
                         supports_fused_joint_topk,
                     )
 
@@ -199,6 +206,96 @@ class TransducerBeamSearchDecoder:
                     )
                 except (KeyError, TypeError):
                     use_fused = False
+
+            # fused beam-reorder + pred-net LSTM step (decode mega-kernel
+            # phase 2): the per-round state gathers and the 4 per-step gate
+            # matmuls run in one Pallas kernel — [BK, 4H] preactivations and
+            # gathered carries never touch HBM
+            use_pred_kernel = False
+            if fused_mode != "off":
+                try:
+                    pp = variables["params"]["predictor"]
+                    n_lyr = 0
+                    while f"cell{n_lyr}_ih" in pp:
+                        n_lyr += 1
+                    pred_embed = pp["embed_tokens"]["embedding"]
+                    kih = [
+                        pp[f"cell{i}_ih"]["kernel"] for i in range(n_lyr)
+                    ]
+                    khh = [
+                        pp[f"cell{i}_hh"]["kernel"] for i in range(n_lyr)
+                    ]
+                    Hp = khh[0].shape[0] if n_lyr else 0
+                    shapes_ok = (
+                        n_lyr >= 1
+                        and pred_embed.shape[1] == Hp
+                        and all(k.shape == (Hp, 4 * Hp) for k in kih)
+                        and all(k.shape == (Hp, 4 * Hp) for k in khh)
+                    )
+                    if shapes_ok:
+                        pred_w = dict(
+                            w_ih=jnp.stack(kih),
+                            b_ih=jnp.stack(
+                                [
+                                    pp[f"cell{i}_ih"]["bias"]
+                                    for i in range(n_lyr)
+                                ]
+                            ),
+                            w_hh=jnp.stack(khh),
+                        )
+                        use_pred_kernel = fused_interpret or (
+                            supports_lstm_step_reorder(
+                                B, K, Hp, pred_embed.shape[1], n_lyr
+                            )
+                        )
+                except (KeyError, TypeError):
+                    use_pred_kernel = False
+
+            # fused beam-reorder + LM LSTM step: every reference flagship
+            # decode runs LM shallow fusion (run.sh:266-290), and the LM's
+            # recurrent matmuls + state reorders dominate the fused-decode
+            # scan. Gate-padded weights make any hidden width lane-aligned
+            # (padding is exact for LSTM cells — see prep_lstm_kernel_inputs)
+            use_lm_kernel = False
+            lm_k = None
+            lm_params = None
+            if fused_mode != "off" and lm_adapter is not None:
+                from espresso_tpu.decode.api import LMAdapter as _LSTMAdapter
+
+                if type(lm_adapter) is _LSTMAdapter:
+                    try:
+                        lm_params = lm_variables["params"]["decoder"]
+                    except (KeyError, TypeError):
+                        lm_params = None
+                    if lm_params is not None:
+                        lm_k = prep_lstm_kernel_inputs(lm_params)
+                    if lm_k is not None:
+                        use_lm_kernel = fused_interpret or (
+                            supports_lstm_step_reorder(
+                                B,
+                                K,
+                                lm_k["Hp"],
+                                lm_k["Hp"],
+                                lm_k["w_ih"].shape[0],
+                            )
+                        )
+
+            def lm_logits_from_hidden(out):
+                """Post-cell LM head, replicating the reference LSTM
+                decoder's LM mode (models/speech_lstm._DecoderStep:175-183):
+                optional additional_fc, then fc_out or the tied input
+                embedding (flax Embed.attend — no bias)."""
+                if "additional_fc" in lm_params:
+                    out = (
+                        out @ lm_params["additional_fc"]["kernel"]
+                        + lm_params["additional_fc"]["bias"]
+                    )
+                if "fc_out" in lm_params:
+                    return (
+                        out @ lm_params["fc_out"]["kernel"]
+                        + lm_params["fc_out"]["bias"]
+                    )
+                return out @ lm_params["embed_tokens"]["embedding"].T
 
             def lm_label_bias(exp_lm):
                 """[BK, V_model] additive label bias for the fused kernel:
@@ -243,6 +340,16 @@ class TransducerBeamSearchDecoder:
                 s0 = lm_adapter.init_state(lm_variables, None, BK, lm_max_len)
                 eos_lm = jnp.full((BK,), self.dict.eos() - 1, jnp.int32)
                 lg0, s0, _ = lm_adapter.step(lm_variables, eos_lm, s0)
+                if use_lm_kernel and lm_k["Hp"] != lm_k["H"]:
+                    # the kernel path carries gate-padded h/c (padded
+                    # channels provably stay 0 — prep_lstm_kernel_inputs)
+                    padw = lm_k["Hp"] - lm_k["H"]
+                    s0 = (
+                        jnp.pad(s0[0], ((0, 0), (0, 0), (0, padw))),
+                        jnp.pad(s0[1], ((0, 0), (0, 0), (0, padw))),
+                        s0[2],
+                        s0[3],
+                    )
                 lm_state0 = (
                     s0,
                     jax.nn.log_softmax(lg0.astype(jnp.float32), -1),
@@ -339,12 +446,15 @@ class TransducerBeamSearchDecoder:
                             fold_eos_into_blank=predicts_eos,
                             label_bias=bias_j,
                             interpret=fused_interpret,
+                            row_level=True,
                             **joint_w,
                         )
                         if bias_j is not None:
-                            blank_lp_f, fused_vals, fused_idx, lm_factor_j = res
+                            blank_lp_f, row_vals_f, row_flat_f, lm_factor_j = (
+                                res
+                            )
                         else:
-                            blank_lp_f, fused_vals, fused_idx = res
+                            blank_lp_f, row_vals_f, row_flat_f = res
                         V = Vf
                         blank_scores = exp_scores + blank_lp_f
                         lprobs = None
@@ -559,27 +669,18 @@ class TransducerBeamSearchDecoder:
                             mass = jnp.logaddexp(
                                 mass, jnp.where(has, contrib, NEG_INF)
                             )
+                        pre_merge_scores = exp_scores
                         exp_scores = jnp.logaddexp(exp_scores, mass)
                         if use_fused:
-                            # candidate values/top-k fold the scores inside
-                            # the kernel — re-run it with the merged scores
-                            res = fused_joint_topk(
-                                enc_t,
-                                exp_feat,
-                                exp_scores,
-                                K=K,
-                                n_cand=n_cand,
-                                blank=blank,
-                                eos=eos,
-                                fold_eos_into_blank=predicts_eos,
-                                label_bias=lm_label_bias(exp_lm),
-                                interpret=fused_interpret,
-                                **joint_w,
+                            # the per-row candidate set is score-independent
+                            # (the row's score is a constant over its V
+                            # candidates): fold the merge's score delta into
+                            # the already-computed row values instead of
+                            # re-running the joint kernel
+                            delta = jnp.where(
+                                live2, exp_scores - pre_merge_scores, 0.0
                             )
-                            if has_lm_bias:
-                                blank_lp_f, fused_vals, fused_idx, _ = res
-                            else:
-                                blank_lp_f, fused_vals, fused_idx = res
+                            row_vals_f = row_vals_f + delta[..., None]
                             blank_scores = exp_scores + blank_lp_f
                         else:
                             blank_scores = exp_scores + lprobs[:, :, blank]
@@ -678,7 +779,9 @@ class TransducerBeamSearchDecoder:
 
                     # ---- label expansion -----------------------------------
                     if use_fused:
-                        top_cand, cand_idx = fused_vals, fused_idx
+                        top_cand, cand_idx = rows_topk(
+                            row_vals_f, row_flat_f, n_cand
+                        )
                     else:
                         # LM-fused label log-probs (shift + renormalize)
                         # were built at the round top
@@ -720,10 +823,39 @@ class TransducerBeamSearchDecoder:
 
                         return jax.tree_util.tree_map(g, tree)
 
-                    exp_feat = reorder(exp_feat)
-                    exp_carry = reorder(exp_carry)
+                    if use_pred_kernel:
+                        # the fused step kernel gathers the carry itself;
+                        # only the pm feature ring (depth >= 2) still needs
+                        # the reordered pre-advance feature
+                        exp_feat_r = (
+                            jnp.take(exp_feat, flat_beam, axis=0)
+                            if A >= 2
+                            else None
+                        )
+                    else:
+                        exp_feat = reorder(exp_feat)
+                        exp_carry = reorder(exp_carry)
+                        exp_feat_r = exp_feat
                     if exp_lm is not None:
-                        exp_lm = reorder(exp_lm)
+                        if use_lm_kernel:
+                            # the LM step kernel gathers h/c itself; only
+                            # the cached log-probs (the pm ring + next
+                            # round's bias read them pre-advance) and the
+                            # small leaves reorder here
+                            (h_lmS, c_lmS, fd_lmS, pv_lmS), cached_lmS = (
+                                exp_lm
+                            )
+                            exp_lm = (
+                                (
+                                    h_lmS,
+                                    c_lmS,
+                                    jnp.take(fd_lmS, flat_beam, axis=0),
+                                    jnp.take(pv_lmS, flat_beam, axis=0),
+                                ),
+                                jnp.take(cached_lmS, flat_beam, axis=0),
+                            )
+                        else:
+                            exp_lm = reorder(exp_lm)
                     if A >= 1:
                         # prefix-merge rings: push the new token (and, for
                         # depth >= 2, the pre-advance prediction feature +
@@ -745,7 +877,7 @@ class TransducerBeamSearchDecoder:
                             fh_e = jnp.where(
                                 live_pm[None, :, None],
                                 jnp.concatenate(
-                                    [exp_feat[None], fh_g[:-1]], axis=0
+                                    [exp_feat_r[None], fh_g[:-1]], axis=0
                                 ),
                                 fh_g,
                             )
@@ -763,14 +895,7 @@ class TransducerBeamSearchDecoder:
                             )
                         exp_pm = (sl_e, th_e, fh_e, lmh_e)
                     # advance prediction net with the new labels
-                    new_feat, new_carry = model.apply(
-                        variables,
-                        new_tok.reshape(-1),
-                        exp_carry,
-                        method="pred_step",
-                    )
                     live = (keep_scores > NEG_INF / 2).reshape(-1)
-                    exp_feat = jnp.where(live[:, None], new_feat, exp_feat)
 
                     def live_mask(new, old):
                         axis = 1 if new.ndim == 3 and new.shape[1] == BK else 0
@@ -779,20 +904,97 @@ class TransducerBeamSearchDecoder:
                         m = live.reshape(shape)
                         return jnp.where(m, new, old)
 
-                    exp_carry = jax.tree_util.tree_map(
-                        live_mask, new_carry, exp_carry
-                    )
+                    if use_pred_kernel:
+                        # one Pallas kernel: beam reorder + all LSTM layers
+                        # + live mask (gathered state and [BK, 4H]
+                        # preactivations never touch HBM)
+                        h_prev, c_prev, ctx_pn, prev_pn = exp_carry
+                        x_emb = jnp.take(
+                            pred_embed, new_tok.reshape(-1), axis=0
+                        )
+                        h_out, c_out = lstm_step_reorder(
+                            x_emb,
+                            h_prev,
+                            c_prev,
+                            flat_beam,
+                            live,
+                            B=B,
+                            K=K,
+                            interpret=fused_interpret,
+                            **pred_w,
+                        )
+                        exp_carry = (
+                            h_out,
+                            c_out,
+                            jnp.take(ctx_pn, flat_beam, axis=0),
+                            jnp.where(
+                                live,
+                                new_tok.reshape(-1),
+                                jnp.take(prev_pn, flat_beam, axis=0),
+                            ),
+                        )
+                        # pred-net invariant: exp_feat == top-layer hidden
+                        exp_feat = h_out[-1]
+                    else:
+                        new_feat, new_carry = model.apply(
+                            variables,
+                            new_tok.reshape(-1),
+                            exp_carry,
+                            method="pred_step",
+                        )
+                        exp_feat = jnp.where(
+                            live[:, None], new_feat, exp_feat
+                        )
+                        exp_carry = jax.tree_util.tree_map(
+                            live_mask, new_carry, exp_carry
+                        )
                     if exp_lm is not None and lm_adapter is not None:
-                        st, _ = exp_lm
                         lm_tok = jnp.maximum(new_tok.reshape(-1) - 1, 0)
-                        lg, new_st, _ = lm_adapter.step(lm_variables, lm_tok, st)
-                        new_exp_lm = (
-                            new_st,
-                            jax.nn.log_softmax(lg.astype(jnp.float32), -1),
-                        )
-                        exp_lm = jax.tree_util.tree_map(
-                            live_mask, new_exp_lm, exp_lm
-                        )
+                        if use_lm_kernel:
+                            (h_lm, c_lm, fd_r, pv_r), cached_r = exp_lm
+                            x_lm = jnp.take(lm_k["embed"], lm_tok, axis=0)
+                            h_o, c_o = lstm_step_reorder(
+                                x_lm,
+                                h_lm,
+                                c_lm,
+                                flat_beam,
+                                live,
+                                lm_k["w_ih"],
+                                lm_k["b_ih"],
+                                lm_k["w_hh"],
+                                B=B,
+                                K=K,
+                                interpret=fused_interpret,
+                            )
+                            lg = lm_logits_from_hidden(
+                                h_o[-1][:, : lm_k["H"]]
+                            )
+                            lp_new = jax.nn.log_softmax(
+                                lg.astype(jnp.float32), -1
+                            )
+                            exp_lm = (
+                                (
+                                    h_o,
+                                    c_o,
+                                    fd_r,
+                                    jnp.where(live, lm_tok, pv_r),
+                                ),
+                                jnp.where(live[:, None], lp_new, cached_r),
+                            )
+                        else:
+                            st, _ = exp_lm
+                            lg, new_st, _ = lm_adapter.step(
+                                lm_variables, lm_tok, st
+                            )
+                            new_exp_lm = (
+                                new_st,
+                                jax.nn.log_softmax(
+                                    lg.astype(jnp.float32), -1
+                                ),
+                            )
+                            exp_lm = jax.tree_util.tree_map(
+                                live_mask, new_exp_lm, exp_lm
+                            )
                     versions.append((exp_feat, exp_carry, exp_lm, exp_pm))
 
                 # materialize the winning pool states: per-version gathers
@@ -990,7 +1192,14 @@ class TransducerBeamSearchDecoder:
 
         return jax.jit(run)
 
-    def decode(self, variables, batch) -> List[List[Dict[str, Any]]]:
+    def decode_async(self, variables, batch):
+        """Launch the jitted search and return an opaque handle; the
+        device->host transfer is deferred to ``collect``. Pipelining
+        batches (launch batch i+1 before collecting batch i) overlaps the
+        next batch's device compute with this result's host fetch — the
+        packed-result transfer is a significant fraction of decode wall
+        time on hosts with slow links, and the device queue keeps
+        executing while the host blocks on a previous fetch."""
         src_frames = jnp.asarray(batch["src_frames"])
         src_lengths = jnp.asarray(batch["src_lengths"])
         T = src_frames.shape[1]
@@ -998,11 +1207,15 @@ class TransducerBeamSearchDecoder:
         key = (src_frames.shape, L_max)
         if key not in self._jitted:
             self._jitted[key] = self._search_fn(T, L_max)
-        packed = np.asarray(
-            self._jitted[key](
-                variables, self.lm_variables, src_frames, src_lengths
-            )
+        packed = self._jitted[key](
+            variables, self.lm_variables, src_frames, src_lengths
         )
+        return packed, L_max
+
+    def collect(self, handle) -> List[List[Dict[str, Any]]]:
+        """Fetch + unpack a ``decode_async`` handle into n-best lists."""
+        packed_dev, L_max = handle
+        packed = np.asarray(packed_dev)
         scores = np.ascontiguousarray(packed[:, :, 0]).view(np.float32)
         lens = packed[:, :, 1].astype(np.int64)
         tokens = (
@@ -1026,5 +1239,8 @@ class TransducerBeamSearchDecoder:
                 hyps = [{"tokens": np.zeros(0, np.int32), "score": NEG_INF}]
             results.append(hyps)
         return results
+
+    def decode(self, variables, batch) -> List[List[Dict[str, Any]]]:
+        return self.collect(self.decode_async(variables, batch))
 
     generate = decode

@@ -104,7 +104,8 @@ def fused_joint_topk(
     fold_eos_into_blank: bool = False,
     label_bias: Optional[jnp.ndarray] = None,  # [B*K, V] f32
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    row_level: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Returns (blank_lp [B, K] f32, top_vals [B, n_cand] f32 of
     scores+label_lp sorted descending, top_idx [B, n_cand] i32 flat indices
     into [K*V]).
@@ -117,7 +118,14 @@ def fused_joint_topk(
     reference's log_scaling_factor,
     transducer_beam_search_decoder.py:311-322); with a bias the return is a
     4-tuple whose last element is that factor [B, K] f32 (reused by the
-    prefix merge)."""
+    prefix merge).
+
+    ``row_level=True`` skips the final cross-row top-k and returns
+    (blank_lp, row_vals [B, K, n_cand], row_flat [B, K, n_cand][, factor])
+    instead. The per-row candidate SET is independent of the beam scores
+    (a row's score is a per-row constant added to every candidate), so a
+    caller that later shifts a row's score (the prefix merge) adds the
+    delta to row_vals and calls ``rows_topk`` — no second kernel run."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -254,17 +262,35 @@ def fused_joint_topk(
         interpret=interpret,
     )(*inputs)
     blank_flat, row_vals, row_idx = out[0], out[1], out[2]
-    # exact per-utterance top-n_cand from the per-row winners (tiny top_k
-    # over K*n_cand instead of a K*V sort inside the decode loop)
     row_flat = (
         jnp.arange(BK, dtype=jnp.int32).reshape(B, K, 1) % K * V
         + row_idx.reshape(B, K, n_cand)
-    ).reshape(B, K * n_cand)
-    vals, pos = jax.lax.top_k(row_vals.reshape(B, K * n_cand), n_cand)
-    idx = jnp.take_along_axis(row_flat, pos, axis=1)
+    )
+    row_vals = row_vals.reshape(B, K, n_cand)
+    if row_level:
+        if label_bias is not None:
+            return blank_flat.reshape(B, K), row_vals, row_flat, out[
+                3
+            ].reshape(B, K)
+        return blank_flat.reshape(B, K), row_vals, row_flat
+    vals, idx = rows_topk(row_vals, row_flat, n_cand)
     if label_bias is not None:
         return blank_flat.reshape(B, K), vals, idx, out[3].reshape(B, K)
     return blank_flat.reshape(B, K), vals, idx
+
+
+def rows_topk(
+    row_vals: jnp.ndarray,  # [B, K, n] per-row candidate values
+    row_flat: jnp.ndarray,  # [B, K, n] flat indices into [K*V]
+    n_cand: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact per-utterance top-n_cand from per-row winners: a tiny top_k
+    over K*n_cand values instead of a K*V sort inside the decode loop (any
+    utterance top-n candidate is necessarily within its row's top-n)."""
+    B = row_vals.shape[0]
+    vals, pos = jax.lax.top_k(row_vals.reshape(B, -1), n_cand)
+    idx = jnp.take_along_axis(row_flat.reshape(B, -1), pos, axis=1)
+    return vals, idx
 
 
 def aes_backtrace(
@@ -353,6 +379,274 @@ def aes_backtrace(
         interpret=interpret,
     )(active, fp, msrc, esrc, etok, order)
     return toks, valid
+
+
+def _lstm_step_vmem_bytes(rows: int, H: int, L: int) -> int:
+    weights = 2 * L * H * 4 * H * 2  # w_ih + w_hh, ALL layers resident, bf16
+    io = rows * H * (2 + 4 * L * 2)  # x + h/c in/out blocks
+    live = rows * H * (4 + 4 + 16 + 2)  # hg/cg f32, pre f32, xc bf16
+    return weights + io + live + rows * rows * 2
+
+
+def _pick_lstm_bb(B: int, K: int, H: int, L: int) -> Optional[int]:
+    for bb in (32, 16, 8, 4, 2, 1):
+        if B % bb != 0:
+            continue
+        if _lstm_step_vmem_bytes(bb * K, H, L) > _VMEM_BUDGET:
+            continue
+        return bb
+    return None
+
+
+def supports_lstm_step_reorder(B: int, K: int, H: int, E: int, L: int) -> bool:
+    """Shape gate for the fused decode LSTM step: the input embedding must
+    match the hidden width (true for the transducer pred-net and, after
+    gate-padding, the LSTM LMs), H lane-aligned, and the WHOLE weight
+    stack + one block's activations within the VMEM budget — the kernel
+    keeps all weights resident across the batch grid (the streaming
+    variant re-fetched ~8 MB of weights per batch block and was
+    DMA-bound). Big LMs (e.g. 3x1024: 50 MB of weights) fall back to the
+    XLA path."""
+    return (
+        E == H
+        and H % 128 == 0
+        and _pick_lstm_bb(B, K, H, L) is not None
+        and jax.default_backend() in ("tpu", "axon")
+    )
+
+
+def lstm_step_reorder(
+    x: jnp.ndarray,  # [BK, H] embedded input tokens (dest-row order)
+    h: jnp.ndarray,  # [L, BK, H] hidden carry
+    c: jnp.ndarray,  # [L, BK, H] cell carry
+    src: jnp.ndarray,  # [BK] int32 global source-row index (same utterance)
+    live: jnp.ndarray,  # [BK] bool — rows that advance; dead rows keep the
+    #                     gathered (reordered) state
+    w_ih: jnp.ndarray,  # [L, H, 4H] input-side gate kernels
+    b_ih: jnp.ndarray,  # [L, 4H] input-side biases
+    w_hh: jnp.ndarray,  # [L, H, 4H] recurrent gate kernels (bias-free)
+    B: int,
+    K: int,
+    interpret: bool = False,
+    bb: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused beam-reorder + multi-layer LSTM decode step.
+
+    Computes, per destination row r with source row s = src[r]:
+
+        h_g, c_g = h[:, s], c[:, s]                 (the beam reorder)
+        x_0 = x[r]
+        for l in layers:
+            pre = x_l @ w_ih[l] + b_ih[l] + h_g[l] @ w_hh[l]
+            h_new[l], c_new[l] = lstm_gates(pre, h_g[l], c_g[l])
+            x_{l+1} = h_new[l]
+        out[l] = where(live[r], (h_new[l], c_new[l]), (h_g[l], c_g[l]))
+
+    matching the jnp path in decode/transducer_beam.py (reorder ->
+    pred_step -> live mask) and the LM advance for LSTM LMs. The reorder
+    rides as a block-local one-hot matmul (rows only ever source within
+    their own utterance's K beams, so every gather stays inside the grid's
+    utterance block); the gathered carries and the [BK, 4H] preactivations
+    never touch HBM — the XLA path moved ~60 MB of intermediate state per
+    expansion round through HBM and paid ~15 ops of sequential launch
+    latency inside the scan.
+
+    Grid: (B/bb utterance blocks,) with the FULL weight stack resident in
+    VMEM — the index maps for the weights are constant, so Pallas DMAs
+    them exactly once per call (a layer/gate-streaming variant re-fetched
+    ~8 MB of weights per batch block and was DMA-bound, no faster than
+    XLA). Gate order (i, f, g, o) matches modules/lstm.lstm_gates.
+
+    Returns (h_out, c_out), both [L, BK, H] in the carry dtype; the caller
+    reads the top-layer features as h_out[-1] (the pred-net invariant
+    exp_feat == h[-1] — see transducer_beam).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, BK, H = h.shape
+    assert BK == B * K and x.shape == (BK, H)
+    assert w_ih.shape == (L, H, 4 * H) and w_hh.shape == (L, H, 4 * H)
+    if bb is None:
+        bb = _pick_lstm_bb(B, K, H, L)
+    assert bb is not None, "shape over VMEM budget — use the jnp path"
+    rows = bb * K
+
+    # block-local source index: src rows always live in the same utterance
+    # block (src = b*K + beam, blocks are whole utterances)
+    src_local = (src - (jnp.arange(BK, dtype=jnp.int32) // rows) * rows)
+    src_local = src_local.astype(jnp.int32).reshape(BK, 1)
+    live_i = live.astype(jnp.int32).reshape(BK, 1)
+
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def kernel(x_ref, srcl_ref, live_ref, h_ref, c_ref, wih_ref, bih_ref,
+               whh_ref, ho_ref, co_ref):
+        dn = (((1,), (0,)), ((), ()))
+        # beam reorder as a one-hot matmul — exact in bf16 (every output
+        # row copies exactly one input row), full-rate MXU
+        cols = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        P = (cols == srcl_ref[:]).astype(bf16)
+        alive = live_ref[:] > 0  # [rows, 1]
+        xc = x_ref[:].astype(bf16)
+        for l in range(L):
+            hg = jax.lax.dot_general(
+                P, h_ref[l].astype(bf16), dn, preferred_element_type=f32
+            )
+            cg = jax.lax.dot_general(
+                P, c_ref[l].astype(bf16), dn, preferred_element_type=f32
+            )
+            # bf16 operands + f32 accumulation: full-rate MXU, at least
+            # the precision of the jnp path (whose bf16 dots round)
+            pre = (
+                jax.lax.dot_general(
+                    xc, wih_ref[l].astype(bf16), dn,
+                    preferred_element_type=f32,
+                )
+                + jax.lax.dot_general(
+                    hg.astype(bf16), whh_ref[l].astype(bf16), dn,
+                    preferred_element_type=f32,
+                )
+                + bih_ref[l].astype(f32)
+            )
+            # gate nonlinearities in bf16 (the jnp path's dtype): halves
+            # the VPU transcendental cost, which otherwise dominates the
+            # kernel (~0.3 ms/call in f32 vs ~0.1 ms of MXU work). Manual
+            # sigmoid/tanh: jax.nn.sigmoid/jnp.tanh on bf16 emit an f32
+            # scalar vector.broadcast Mosaic rejects.
+            def _sig(v):
+                return 1.0 / (1.0 + jnp.exp(-v))
+
+            def _tanh(v):
+                return 2.0 / (1.0 + jnp.exp(-2.0 * v)) - 1.0
+
+            i_g = _sig(pre[:, 0 * H : 1 * H].astype(bf16))
+            f_g = _sig(pre[:, 1 * H : 2 * H].astype(bf16))
+            g_g = _tanh(pre[:, 2 * H : 3 * H].astype(bf16))
+            o_g = _sig(pre[:, 3 * H : 4 * H].astype(bf16))
+            hgb = hg.astype(bf16)
+            cgb = cg.astype(bf16)
+            c_new = f_g * cgb + i_g * g_g
+            h_new = o_g * _tanh(c_new)
+            ho_ref[l] = jnp.where(alive, h_new, hgb).astype(ho_ref.dtype)
+            co_ref[l] = jnp.where(alive, c_new, cgb).astype(co_ref.dtype)
+            # next layer's input is the RAW new hidden (the jnp path masks
+            # outputs only — dead rows still feed their computed hidden up)
+            xc = h_new.astype(bf16)
+
+    grid = (B // bb,)
+    full_w = lambda b: (0, 0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, H), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, rows, H), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, rows, H), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, H, 4 * H), full_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, 4 * H), full_w, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, H, 4 * H), full_w, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((L, rows, H), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, rows, H), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, BK, H), h.dtype),
+            jax.ShapeDtypeStruct((L, BK, H), c.dtype),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        src_local,
+        live_i,
+        h,
+        c,
+        w_ih,
+        b_ih.reshape(L, 1, 4 * H),
+        w_hh,
+    )
+    return out
+
+
+def prep_lstm_kernel_inputs(params) -> Optional[dict]:
+    """Extract and gate-pad an LSTM decoder cell stack (flax subtree with
+    ``embed_tokens`` / ``cell{i}_ih`` / ``cell{i}_hh``) for
+    ``lstm_step_reorder``.
+
+    The kernel wants square [Hp, 4Hp] gate kernels with Hp lane-aligned and
+    the embedding width equal to Hp. Zero-padding is EXACT for LSTM cells:
+    padded gate preactivations are 0 (all contributing weights and biases
+    are 0), so i = f = o = sigmoid(0), g = tanh(0) = 0 and a padded channel
+    evolves as c' = 0.5·c, h' = 0.5·tanh(c') — identically 0 when the
+    padded state starts at 0 (the caller pads carries with zeros).
+
+    Returns dict(embed [V, Hp], w_ih/b_ih [L, Hp·4Hp], w_hh, H, Hp) or
+    None when the subtree doesn't look like a plain LSTM stack."""
+    try:
+        n = 0
+        while f"cell{n}_ih" in params:
+            n += 1
+        if n == 0 or "embed_tokens" not in params:
+            return None
+        w_hh = [params[f"cell{i}_hh"]["kernel"] for i in range(n)]
+        w_ih = [params[f"cell{i}_ih"]["kernel"] for i in range(n)]
+        b_ih = [params[f"cell{i}_ih"]["bias"] for i in range(n)]
+        emb = params["embed_tokens"]["embedding"]
+    except (KeyError, TypeError):
+        return None
+    H = int(w_hh[0].shape[0])
+    E = int(emb.shape[1])
+    if any(k.shape != (H, 4 * H) for k in w_hh):
+        return None
+    if w_ih[0].shape != (E, 4 * H):
+        return None
+    if any(k.shape != (H, 4 * H) for k in w_ih[1:]):
+        return None
+    Hp = -(-H // 128) * 128
+    if E > Hp:
+        return None
+    dt = w_hh[0].dtype
+    if Hp == H and E == H:
+        return dict(
+            embed=emb,
+            w_ih=jnp.stack(w_ih),
+            b_ih=jnp.stack(b_ih),
+            w_hh=jnp.stack(w_hh),
+            H=H,
+            Hp=Hp,
+        )
+
+    def pad_gates(w_list):
+        out = jnp.zeros((n, Hp, 4 * Hp), dt)
+        for i, w in enumerate(w_list):
+            for g in range(4):
+                out = out.at[
+                    i, : w.shape[0], g * Hp : g * Hp + H
+                ].set(w[:, g * H : (g + 1) * H].astype(dt))
+        return out
+
+    b = jnp.zeros((n, 4 * Hp), dt)
+    for i, bv in enumerate(b_ih):
+        for g in range(4):
+            b = b.at[i, g * Hp : g * Hp + H].set(
+                bv[g * H : (g + 1) * H].astype(dt)
+            )
+    emb_p = jnp.zeros((emb.shape[0], Hp), emb.dtype).at[:, :E].set(emb)
+    return dict(
+        embed=emb_p, w_ih=pad_gates(w_ih), b_ih=b, w_hh=pad_gates(w_hh),
+        H=H, Hp=Hp,
+    )
 
 
 def aes_merge(

@@ -311,3 +311,96 @@ def test_decoder_fused_lm_path_matches_legacy():
                 b, h0["tokens"], h1["tokens"],
             )
             assert abs(h0["score"] - h1["score"]) < 1e-3
+
+
+def test_lstm_step_reorder_matches_jnp():
+    """Fused reorder+LSTM-step kernel (interpret) vs the decoder's jnp
+    sequence: take(state, src) -> pred_step -> where(live, new, old)."""
+    from espresso_tpu.modules.lstm import lstm_gates
+    from espresso_tpu.ops.decode_kernels import lstm_step_reorder
+
+    rng = np.random.default_rng(3)
+    Bq, Kq, Hq, Lq = 4, 4, 128, 2
+    BK = Bq * Kq
+    x = jnp.asarray(rng.standard_normal((BK, Hq)) * 0.5, jnp.float32)
+    h = jnp.asarray(rng.standard_normal((Lq, BK, Hq)) * 0.5, jnp.float32)
+    c = jnp.asarray(rng.standard_normal((Lq, BK, Hq)) * 0.5, jnp.float32)
+    # sources stay within each utterance's K rows
+    src_beam = rng.integers(0, Kq, size=BK)
+    src = jnp.asarray(
+        (np.arange(BK) // Kq) * Kq + src_beam, jnp.int32
+    )
+    live = jnp.asarray(rng.integers(0, 2, size=BK).astype(bool))
+    w_ih = jnp.asarray(rng.standard_normal((Lq, Hq, 4 * Hq)) * 0.2, jnp.float32)
+    b_ih = jnp.asarray(rng.standard_normal((Lq, 4 * Hq)) * 0.1, jnp.float32)
+    w_hh = jnp.asarray(rng.standard_normal((Lq, Hq, 4 * Hq)) * 0.2, jnp.float32)
+
+    # jnp reference: reorder then advance then live-mask
+    hg = jnp.take(h, src, axis=1)
+    cg = jnp.take(c, src, axis=1)
+    xl = x
+    hs, cs = [], []
+    for l in range(Lq):
+        pre = xl @ w_ih[l] + b_ih[l] + hg[l] @ w_hh[l]
+        h_new, c_new = lstm_gates(pre, hg[l], cg[l])
+        hs.append(h_new)
+        cs.append(c_new)
+        xl = h_new
+    ref_h = jnp.where(live[None, :, None], jnp.stack(hs), hg)
+    ref_c = jnp.where(live[None, :, None], jnp.stack(cs), cg)
+
+    got_h, got_c = lstm_step_reorder(
+        x, h, c, src, live, w_ih, b_ih, w_hh, B=Bq, K=Kq, interpret=True
+    )
+    # the kernel's dots run bf16-operand/f32-accumulate (full-rate MXU), so
+    # f32 inputs agree with the f32 reference to bf16 operand rounding
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_lstm_step_reorder_bf16_state():
+    """bf16 carries (the decode dtype): outputs come back bf16 and match the
+    f32 reference within bf16 tolerance."""
+    from espresso_tpu.modules.lstm import lstm_gates
+    from espresso_tpu.ops.decode_kernels import lstm_step_reorder
+
+    rng = np.random.default_rng(11)
+    Bq, Kq, Hq, Lq = 2, 8, 128, 2
+    BK = Bq * Kq
+    x = jnp.asarray(rng.standard_normal((BK, Hq)) * 0.5, jnp.bfloat16)
+    h = jnp.asarray(rng.standard_normal((Lq, BK, Hq)) * 0.5, jnp.bfloat16)
+    c = jnp.asarray(rng.standard_normal((Lq, BK, Hq)) * 0.5, jnp.bfloat16)
+    src = jnp.asarray(
+        (np.arange(BK) // Kq) * Kq + rng.integers(0, Kq, size=BK), jnp.int32
+    )
+    live = jnp.asarray(rng.integers(0, 2, size=BK).astype(bool))
+    w_ih = jnp.asarray(rng.standard_normal((Lq, Hq, 4 * Hq)) * 0.2, jnp.bfloat16)
+    b_ih = jnp.asarray(rng.standard_normal((Lq, 4 * Hq)) * 0.1, jnp.bfloat16)
+    w_hh = jnp.asarray(rng.standard_normal((Lq, Hq, 4 * Hq)) * 0.2, jnp.bfloat16)
+
+    hg = jnp.take(h, src, axis=1).astype(jnp.float32)
+    cg = jnp.take(c, src, axis=1).astype(jnp.float32)
+    xl = x.astype(jnp.float32)
+    hs, cs = [], []
+    for l in range(Lq):
+        pre = (xl @ w_ih[l].astype(jnp.float32) + b_ih[l].astype(jnp.float32)
+               + hg[l] @ w_hh[l].astype(jnp.float32))
+        h_new, c_new = lstm_gates(pre, hg[l], cg[l])
+        hs.append(h_new)
+        cs.append(c_new)
+        xl = h_new
+    ref_h = jnp.where(live[None, :, None], jnp.stack(hs), hg)
+    ref_c = jnp.where(live[None, :, None], jnp.stack(cs), cg)
+
+    got_h, got_c = lstm_step_reorder(
+        x, h, c, src, live, w_ih, b_ih, w_hh, B=Bq, K=Kq, interpret=True
+    )
+    assert got_h.dtype == jnp.bfloat16 and got_c.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_h, np.float32), np.asarray(ref_h), rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_c, np.float32), np.asarray(ref_c), rtol=2e-2, atol=2e-2
+    )
