@@ -144,10 +144,17 @@ def main():
 
     decoder.decode(variables, batch)  # warmup / compile
 
+    # sustained throughput (matches bench.py): back-to-back launches, host
+    # fetches overlap the next batch's compute when the decoder pipelines
     iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        decoder.decode(variables, batch)
+    if hasattr(decoder, "decode_async"):
+        handles = [decoder.decode_async(variables, batch) for _ in range(iters)]
+        for h in handles:
+            decoder.collect(h)
+    else:
+        for _ in range(iters):
+            decoder.decode(variables, batch)
     wall = time.perf_counter() - t0
 
     audio_seconds = iters * B * T * FRAME_SHIFT_S

@@ -137,7 +137,10 @@ class TransducerGreedyDecoder:
 
         return run
 
-    def decode(self, variables, batch) -> List[Dict[str, Any]]:
+    def decode_async(self, variables, batch):
+        """Launch the jitted greedy search; fetch deferred to ``collect``
+        (depth-1 pipelining overlaps the host transfer with the next
+        batch's device compute — see TransducerBeamSearchDecoder)."""
         src_frames = jnp.asarray(batch["src_frames"])
         src_lengths = jnp.asarray(batch["src_lengths"])
         T = src_frames.shape[1]
@@ -145,9 +148,10 @@ class TransducerGreedyDecoder:
         key = (src_frames.shape, L_max)
         if key not in self._jitted:
             self._jitted[key] = self._decode_fn(T, L_max)
-        packed = np.asarray(
-            self._jitted[key](variables, src_frames, src_lengths)
-        )
+        return self._jitted[key](variables, src_frames, src_lengths)
+
+    def collect(self, handle) -> List[Dict[str, Any]]:
+        packed = np.asarray(handle)
         score = np.ascontiguousarray(packed[:, 0]).view(np.float32)
         out_len = packed[:, 1]
         out_buf = packed[:, 2:]
@@ -160,3 +164,6 @@ class TransducerGreedyDecoder:
             ]
             for b in range(out_buf.shape[0])
         ]
+
+    def decode(self, variables, batch) -> List[Dict[str, Any]]:
+        return self.collect(self.decode_async(variables, batch))
