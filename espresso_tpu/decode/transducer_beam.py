@@ -1003,59 +1003,47 @@ class TransducerBeamSearchDecoder:
                 # concat as two 15 MB copies per frame)
                 flat_slot = (bidx * K + pool_slot).reshape(-1)
                 flat_ver = pool_ver.reshape(-1)
+                # inactive frames: keep previous beam unchanged (fused into
+                # the version gather below — one masked pass per leaf instead
+                # of a gather pass plus a keep pass)
+                keep_old = ~active_t
+                keep_bk = jnp.repeat(keep_old, K)
 
-                def gather_versions(leaves):
-                    def g(*leaf_versions):
+                def gather_versions(old, leaves):
+                    def g(old_leaf, *leaf_versions):
                         x0 = leaf_versions[0]
                         axis = 1 if x0.ndim == 3 and x0.shape[1] == BK else 0
+                        shape = [1] * x0.ndim
+                        shape[axis] = BK
                         out = jnp.take(leaf_versions[0], flat_slot, axis=axis)
                         for v in range(1, len(leaf_versions)):
-                            shape = [1] * x0.ndim
-                            shape[axis] = BK
                             m = (flat_ver == v).reshape(shape)
                             out = jnp.where(
                                 m,
                                 jnp.take(leaf_versions[v], flat_slot, axis=axis),
                                 out,
                             )
-                        return out
+                        return jnp.where(keep_bk.reshape(shape), old_leaf, out)
 
-                    return jax.tree_util.tree_map(g, *leaves)
+                    return jax.tree_util.tree_map(g, old, *leaves)
 
-                pool_feat = gather_versions([v[0] for v in versions])
-                pool_carry = gather_versions([v[1] for v in versions])
-                pool_lm = (
-                    gather_versions([v[2] for v in versions])
-                    if lm_state is not None
-                    else None
+                pred_feat = gather_versions(
+                    pred_feat, [v[0] for v in versions]
                 )
-                pool_pm = (
-                    gather_versions([v[3] for v in versions])
-                    if A >= 1
-                    else None
+                pred_carry = gather_versions(
+                    pred_carry, [v[1] for v in versions]
                 )
+                if lm_state is not None:
+                    lm_state = gather_versions(
+                        lm_state, [v[2] for v in versions]
+                    )
+                if A >= 1:
+                    pm_state = gather_versions(
+                        pm_state, [v[3] for v in versions]
+                    )
 
-                # inactive frames: keep previous beam unchanged
-                keep_old = ~active_t
                 scores = jnp.where(keep_old[:, None], scores, pool_scores)
                 hashes = jnp.where(keep_old[:, None], hashes, pool_hash)
-
-                def keep_state(old, new):
-                    def pick(o, nw):
-                        axis = 1 if o.ndim == 3 and o.shape[1] == BK else 0
-                        shape = [1] * o.ndim
-                        shape[axis] = BK
-                        m = jnp.repeat(keep_old, K).reshape(shape)
-                        return jnp.where(m, o, nw)
-
-                    return jax.tree_util.tree_map(pick, old, new)
-
-                pred_feat = keep_state(pred_feat, pool_feat)
-                pred_carry = keep_state(pred_carry, pool_carry)
-                if lm_state is not None:
-                    lm_state = keep_state(lm_state, pool_lm)
-                if A >= 1:
-                    pm_state = keep_state(pm_state, pool_pm)
                 ys = (
                     jnp.stack(bp_fp),  # [n_exp+1, B, K] bool
                     jnp.stack(bp_msrc).astype(jnp.int32),

@@ -137,6 +137,7 @@ def fused_joint_topk(
     bb = _pick_bb(B, K, V, J, H, label_bias is not None)
     assert bb is not None, "shape over VMEM budget — use the jnp path"
     rows = bb * K
+    op_dtype = jnp.result_type(enc_t.dtype, feat.dtype, w_out.dtype)
 
     def kernel(enc_ref, feat_ref, sc_ref, wd_ref, bd_ref, lns_ref, lnb_ref,
                wo_ref, bo_ref, *rest):
@@ -144,9 +145,14 @@ def fused_joint_topk(
             bias_ref, blank_ref, vals_ref, idx_ref, factor_ref = rest
         else:
             blank_ref, vals_ref, idx_ref = rest
-        f = feat_ref[:].astype(jnp.float32)
+        # MXU operands stay in the model's compute dtype with f32
+        # accumulation. In production decode everything is bf16 — the MXU's
+        # native full-rate mode (an unconditional f32 upcast ran the two
+        # dots at the ~4x slower f32 systolic rate and dominated the
+        # kernel); with f32 inputs (unit tests) the math is exact f32.
         d = jax.lax.dot_general(
-            f, wd_ref[:].astype(jnp.float32),
+            feat_ref[:].astype(op_dtype),
+            wd_ref[:].astype(op_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + bd_ref[:].astype(jnp.float32)
@@ -155,8 +161,11 @@ def fused_joint_topk(
         d = (d - mu) * jax.lax.rsqrt(var + 1e-6)
         d = d * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
         h = jnp.maximum(enc_ref[:].astype(jnp.float32) + d, 0.0)
+        # under bf16 h is rounded for the vocab dot — matches the jnp
+        # fallback path (the whole model runs bf16); accumulator stays f32
         logits = jax.lax.dot_general(
-            h, wo_ref[:].astype(jnp.float32),
+            h.astype(op_dtype),
+            wo_ref[:].astype(op_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + bo_ref[:].astype(jnp.float32)  # [rows, V]

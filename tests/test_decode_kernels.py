@@ -64,6 +64,49 @@ def test_fused_joint_topk_matches_reference():
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
 
 
+def test_fused_joint_topk_bf16_operands():
+    """Production decode runs bf16: the kernel's MXU dots take bf16
+    operands with f32 accumulation (op_dtype follows the inputs). Parity
+    vs a jnp reference computed the same way (bf16 dots, f32 softmax)."""
+    rng = np.random.default_rng(1)
+    p = {k: v for k, v in _params(rng).items()}
+    p_bf = {k: v.astype(jnp.bfloat16) for k, v in p.items()}
+    enc_t = jnp.asarray(rng.standard_normal((B * K, J)), jnp.bfloat16)
+    feat = jnp.asarray(rng.standard_normal((B * K, H)), jnp.bfloat16)
+    scores = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    n_cand = 6
+    blank_lp, vals, idx = fused_joint_topk(
+        enc_t, feat, scores, K=K, n_cand=n_cand, blank=0, interpret=True,
+        **p_bf,
+    )
+    # reference with the same dtype discipline: bf16 operands, f32 accum
+    d = jax.lax.dot_general(
+        feat, p_bf["w_dec"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + p_bf["b_dec"].astype(jnp.float32)
+    mu = d.mean(1, keepdims=True)
+    var = ((d - mu) ** 2).mean(1, keepdims=True)
+    d = (d - mu) * jax.lax.rsqrt(var + 1e-6)
+    d = d * p_bf["ln_scale"].astype(jnp.float32) + p_bf["ln_bias"].astype(
+        jnp.float32
+    )
+    h = jnp.maximum(enc_t.astype(jnp.float32) + d, 0.0)
+    logits = jax.lax.dot_general(
+        h.astype(jnp.bfloat16), p_bf["w_out"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + p_bf["b_out"].astype(jnp.float32)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    ref_blank = lp[:, 0].reshape(B, K)
+    label = lp.at[:, 0].set(-1e9)
+    cand = (scores.reshape(-1, 1) + label).reshape(B, K * V)
+    np.testing.assert_allclose(
+        np.asarray(blank_lp), np.asarray(ref_blank), atol=1e-5
+    )
+    rv, ri = jax.lax.top_k(cand, n_cand)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(rv), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+
+
 def test_decoder_fused_path_matches_legacy():
     """Full AES decode with the fused kernel (interpret mode) must equal the
     pure-jnp path: same sequences, same scores."""
