@@ -1,0 +1,249 @@
+"""In-tree Viterbi decoding over an HCLG-style decoding graph.
+
+Rebuild of the hybrid path's external Kaldi decoding step — the reference
+pipes dumped log-likelihoods to ``latgen-faster-mapped`` over a process
+boundary (espresso/dump_posteriors.py:148+,
+examples/asr_wsj/run_chain_e2e.sh:218-222) and scores the lattice best
+path. Here the graph is loaded from OpenFst text format and decoded by a
+native token-passing beam decoder (clib/fst_decode.cpp) with the same
+control surface (--acoustic-scale / --beam / --max-active) and the
+"mapped" label contract: arc input label ``il > 0`` indexes log-likelihood
+column ``il - 1``; ``il == 0`` is epsilon.
+
+The host decode runs off-device by design: graph search is pointer-chasing
+over an irregular automaton — the one workload in the stack that does not
+map to the TPU's MXU/VPU — while the acoustic scores it consumes are
+produced on-device (cli/dump_posteriors.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import heapq
+import logging
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class DecodingGraph:
+    """Arc-CSR decoding graph (tropical semiring, lower cost = better)."""
+
+    arc_offsets: np.ndarray  # [S+1] int32
+    arc_dst: np.ndarray  # [A] int32
+    arc_il: np.ndarray  # [A] int32 (0 = epsilon, else loglike column + 1)
+    arc_ol: np.ndarray  # [A] int32 (0 = epsilon)
+    arc_w: np.ndarray  # [A] float32 graph cost
+    final_w: np.ndarray  # [S] float32 (+inf = non-final)
+    start: int = 0
+
+    @property
+    def num_states(self) -> int:
+        return len(self.final_w)
+
+    @classmethod
+    def from_arcs(
+        cls,
+        arcs: Sequence[Tuple[int, int, int, int, float]],
+        finals: Sequence[Tuple[int, float]],
+        start: int = 0,
+        num_states: Optional[int] = None,
+    ) -> "DecodingGraph":
+        """arcs: (src, dst, ilabel, olabel, weight); finals: (state, weight)."""
+        if num_states is None:
+            hi = start
+            for s, d, *_ in arcs:
+                hi = max(hi, s, d)
+            for s, _ in finals:
+                hi = max(hi, s)
+            num_states = hi + 1
+        arcs = sorted(arcs, key=lambda a: a[0])
+        src = np.asarray([a[0] for a in arcs], np.int64)
+        offsets = np.zeros(num_states + 1, np.int64)
+        np.add.at(offsets, src + 1, 1)
+        offsets = np.cumsum(offsets)
+        final_w = np.full(num_states, np.inf, np.float32)
+        for s, w in finals:
+            final_w[s] = w
+        return cls(
+            arc_offsets=offsets.astype(np.int32),
+            arc_dst=np.asarray([a[1] for a in arcs], np.int32),
+            arc_il=np.asarray([a[2] for a in arcs], np.int32),
+            arc_ol=np.asarray([a[3] for a in arcs], np.int32),
+            arc_w=np.asarray([a[4] for a in arcs], np.float32),
+            final_w=final_w,
+            start=start,
+        )
+
+    @classmethod
+    def load_text(cls, path: str) -> "DecodingGraph":
+        """OpenFst text format: ``src dst il ol [w]`` arc lines and
+        ``state [w]`` final lines; the first line's src is the start."""
+        arcs: List[Tuple[int, int, int, int, float]] = []
+        finals: List[Tuple[int, float]] = []
+        start = None
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if len(parts) >= 4:
+                    w = float(parts[4]) if len(parts) > 4 else 0.0
+                    arcs.append(
+                        (int(parts[0]), int(parts[1]), int(parts[2]),
+                         int(parts[3]), w)
+                    )
+                    if start is None:
+                        start = int(parts[0])
+                else:
+                    w = float(parts[1]) if len(parts) > 1 else 0.0
+                    finals.append((int(parts[0]), w))
+                    if start is None:
+                        start = int(parts[0])
+        if start is None:
+            raise ValueError(f"empty FST: {path}")
+        return cls.from_arcs(arcs, finals, start=start)
+
+
+def _native_lib() -> Optional[ctypes.CDLL]:
+    from espresso_tpu.clib import _build_and_load
+
+    lib = _build_and_load("fst_decode")
+    if lib is not None and not getattr(lib, "_configured", False):
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.fst_viterbi_decode.argtypes = [
+            i32p, i32p, i32p, i32p, f32p, f32p,
+            ctypes.c_int32, ctypes.c_int32,
+            f32p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+            i32p, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.fst_viterbi_decode.restype = ctypes.c_int32
+        lib._configured = True
+    return lib
+
+
+class FstDecoder:
+    """Beam Viterbi over a decoding graph; native C++ with NumPy fallback.
+
+    Control surface mirrors the reference decoder invocation
+    (run_chain_e2e.sh:218-222): acoustic_scale, beam, max_active.
+    """
+
+    def __init__(
+        self,
+        graph: DecodingGraph,
+        acoustic_scale: float = 1.0,
+        beam: float = 15.0,
+        max_active: int = 7000,
+    ):
+        self.graph = graph
+        self.acoustic_scale = float(acoustic_scale)
+        self.beam = float(beam)
+        self.max_active = int(max_active)
+        self._lib = _native_lib() if os.environ.get(
+            "ESPRESSO_FST_NATIVE", "1"
+        ) != "0" else None
+
+    def decode(self, loglikes: np.ndarray) -> Tuple[List[int], float, bool]:
+        """loglikes [T, P] -> (output labels, total cost, reached_final)."""
+        ll = np.ascontiguousarray(loglikes, np.float32)
+        T = ll.shape[0]
+        if self._lib is not None:
+            out = np.zeros(max(16, 4 * T + 16), np.int32)
+            cost = ctypes.c_float(0.0)
+            g = self.graph
+            n = self._lib.fst_viterbi_decode(
+                g.arc_offsets, g.arc_dst, g.arc_il, g.arc_ol,
+                np.ascontiguousarray(g.arc_w),
+                np.ascontiguousarray(g.final_w),
+                g.num_states, g.start,
+                ll, T, ll.shape[1],
+                self.acoustic_scale, self.beam, self.max_active,
+                out, len(out), ctypes.byref(cost),
+            )
+            reached_final = n >= 0
+            count = n if n >= 0 else (-n) - 1
+            return out[:count].tolist(), float(cost.value), reached_final
+        return self._decode_numpy(ll)
+
+    # --- pure-NumPy fallback (same algorithm, also the test oracle) ---
+
+    def _decode_numpy(self, ll: np.ndarray) -> Tuple[List[int], float, bool]:
+        g = self.graph
+        T = ll.shape[0]
+        # tokens: dict state -> (cost, back_idx); arena of (back, olabel)
+        arena: List[Tuple[int, int]] = [(-1, 0)]
+        costs = {g.start: (0.0, 0)}
+        costs = self._eps_closure(costs, arena)
+        for t in range(T):
+            if not costs:
+                break
+            best = min(c for c, _ in costs.values())
+            cutoff = best + self.beam
+            if self.max_active > 0 and len(costs) > self.max_active:
+                cs = sorted(c for c, _ in costs.values())
+                cutoff = min(cutoff, cs[self.max_active - 1])
+            nxt: dict = {}
+            for s, (c, tok) in costs.items():
+                if c > cutoff:
+                    continue
+                for a in range(g.arc_offsets[s], g.arc_offsets[s + 1]):
+                    il = int(g.arc_il[a])
+                    if il == 0 or il - 1 >= ll.shape[1]:
+                        continue
+                    nc = c + float(g.arc_w[a]) - self.acoustic_scale * float(
+                        ll[t, il - 1]
+                    )
+                    d = int(g.arc_dst[a])
+                    if d not in nxt or nc < nxt[d][0]:
+                        arena.append((tok, int(g.arc_ol[a])))
+                        nxt[d] = (nc, len(arena) - 1)
+            nxt = self._eps_closure(nxt, arena)
+            if nxt:
+                costs = nxt
+        reached_final = False
+        best_cost, best_tok = np.inf, -1
+        for s, (c, tok) in costs.items():
+            fw = float(g.final_w[s])
+            if np.isfinite(fw):
+                if not reached_final or c + fw < best_cost:
+                    best_cost, best_tok, reached_final = c + fw, tok, True
+        if not reached_final:
+            for s, (c, tok) in costs.items():
+                if c < best_cost:
+                    best_cost, best_tok = c, tok
+        labels: List[int] = []
+        tk = best_tok
+        while tk > 0:
+            back, ol = arena[tk]
+            if ol != 0:
+                labels.append(ol)
+            tk = back
+        return labels[::-1], float(best_cost), reached_final
+
+    def _eps_closure(self, costs: dict, arena: list) -> dict:
+        g = self.graph
+        heap = [(c, s) for s, (c, _) in costs.items()]
+        heapq.heapify(heap)
+        while heap:
+            c, s = heapq.heappop(heap)
+            if s not in costs or costs[s][0] < c:
+                continue
+            tok = costs[s][1]
+            for a in range(g.arc_offsets[s], g.arc_offsets[s + 1]):
+                if int(g.arc_il[a]) != 0:
+                    continue
+                d = int(g.arc_dst[a])
+                nc = c + float(g.arc_w[a])
+                if d not in costs or nc < costs[d][0]:
+                    arena.append((tok, int(g.arc_ol[a])))
+                    costs[d] = (nc, len(arena) - 1)
+                    heapq.heappush(heap, (nc, d))
+        return costs
