@@ -42,12 +42,22 @@ if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
 fi
 
 if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
-  echo "=== stage 3: dump posteriors for Kaldi lattice decoding ==="
+  echo "=== stage 3: dump posteriors for lattice decoding ==="
   python -m espresso_tpu.cli.dump_posteriors \
     task.name=speech_recognition_hybrid dataset.data=${data} \
     dataset.gen_subset=${test_set} \
     task.num_targets=$(cat ${chain_dir}/num_pdfs) \
     checkpoint.save_dir=${exp} \
     > ${exp}/posteriors_${test_set}.ark
-  echo "now run (Kaldi): latgen-faster-mapped ... ark:${exp}/posteriors_${test_set}.ark ..."
+fi
+
+if [ ${stage} -le 4 ] && [ ${stop_stage} -ge 4 ]; then
+  echo "=== stage 4: in-tree FST decoding (replaces Kaldi latgen-faster-mapped) ==="
+  # graph: OpenFst text-format HCLG (e.g. fstprint graph/HCLG.fst)
+  python -m espresso_tpu.cli.latgen \
+    --posteriors ${exp}/posteriors_${test_set}.ark \
+    --graph ${chain_dir}/HCLG.fst.txt --words ${chain_dir}/words.txt \
+    --acoustic-scale 1.0 --beam 15 --max-active 7000 \
+    --results-path ${exp}/decode_${test_set} \
+    --ref ${data}/${test_set}_text
 fi
