@@ -25,6 +25,68 @@ import jax.numpy as jnp
 from espresso_tpu.ops.masking import NEG_INF
 
 
+def _gather_p_shift(p: jnp.ndarray, Tq: int, Tk: int) -> jnp.ndarray:
+    """p [2L-1, H, d] -> p_shift [Tq, Tk, H, d] with
+    p_shift[q, k] = p[clip(k - q + L - 1)] (espnet rel-pos convention)."""
+    L = (p.shape[0] + 1) // 2
+    qi = jnp.arange(Tq)[:, None]
+    kj = jnp.arange(Tk)[None, :]
+    idx = jnp.clip((L - 1) + (kj - qi), 0, p.shape[0] - 1)
+    return jnp.take(p, idx.reshape(-1), axis=0).reshape(
+        Tq, Tk, p.shape[1], p.shape[2]
+    )
+
+
+@jax.custom_vjp
+def _rel_bd(q_v: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """bd[b,h,q,k] = q_v[b,q,h,:] . p[k-q+L-1,h,:] for the square self-attn
+    case (Tq == Tk == L, table rows == 2L-1).
+
+    Forward: row gather of the projected table + one batched matmul — much
+    cheaper than the classic pad/reshape/slice skew (which materializes
+    four [B,H,T,2L-1] tensors per layer; measured -18% encoder wall at the
+    flagship decode shape). Backward avoids the gather's scatter-add
+    adjoint (which doubled the train step): contract the batch first, then
+    diagonal-sum with a masked pad/reshape — no scatter anywhere.
+    """
+    T = q_v.shape[1]
+    return jnp.einsum("bqhd,qkhd->bhqk", q_v, _gather_p_shift(p, T, T))
+
+
+def _rel_bd_fwd(q_v, p):
+    return _rel_bd(q_v, p), (q_v, p)
+
+
+def _rel_bd_bwd(res, dbd):
+    q_v, p = res
+    T = q_v.shape[1]
+    L = (p.shape[0] + 1) // 2
+    # dq_v: contract dbd with the (re-gathered) shifted table
+    p_shift = _gather_p_shift(p, T, T)
+    dq_v = jnp.einsum("bhqk,qkhd->bqhd", dbd, p_shift).astype(q_v.dtype)
+    # dp[o,h,d] = sum_{q,k: k-q+L-1=o, b} dbd[b,h,q,k] q_v[b,q,h,d]:
+    # contract b first (the heavy matmul), then sum G's (q,k) diagonals
+    # into offsets o via the inverse skew: a masked pad/reshape, no scatter
+    G = jnp.einsum("bhqk,bqhd->qkhd", dbd, q_v)  # [T, T, H, d]
+    H, d = G.shape[2], G.shape[3]
+    # w[q, j] = G[q, j-(L-1)]; want y[q, o] = w[q, o+q] = G[q, o+q-(L-1)]
+    w = jnp.pad(G, ((0, 0), (L - 1, 1), (0, 0), (0, 0)))  # [T, 2L, H, d]
+    flat = w.reshape(T * 2 * L, H, d)
+    flat = jnp.pad(flat, ((0, T), (0, 0), (0, 0)))
+    y = flat[: T * (2 * L + 1)].reshape(T, 2 * L + 1, H, d)[:, : 2 * L - 1]
+    # zero the positions whose k = o+q-(L-1) fell outside [0, T): the flat
+    # reshape reads neighboring rows' data there
+    qi = jnp.arange(T)[:, None]
+    oi = jnp.arange(2 * L - 1)[None, :]
+    kk = oi + qi - (L - 1)
+    mask = ((kk >= 0) & (kk < T))[:, :, None, None]
+    dp = jnp.sum(jnp.where(mask, y, 0.0), axis=0).astype(p.dtype)
+    return dq_v, dp
+
+
+_rel_bd.defvjp(_rel_bd_fwd, _rel_bd_bwd)
+
+
 class MultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
@@ -161,27 +223,49 @@ class MultiheadAttention(nn.Module):
             q_u = q + self.pos_bias_u[None, None]
             q_v = q + self.pos_bias_v[None, None]
             ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)
-            bd_full = jnp.einsum("bqhd,phd->bhqp", q_v, p)
+            # Two equivalent relative-shift implementations, chosen by
+            # operating point (espnet convention, fairseq/modules/
+            # espnet_multihead_attention.py rel_shift:
+            # bd[b,h,q,k] = q_v[b,q,h,:] . p[k-q+L-1,h,:]):
+            #
+            #  - inference (deterministic=True): row-gather the projected
+            #    table into [Tq,Tk,H,d] and contract directly. At decode
+            #    batch sizes the classic pad/reshape/slice skew materializes
+            #    four [B,H,Tq,2L-1] tensors per layer (~2.2 ms/layer at the
+            #    flagship decode shape; encoder 156 -> 127.8 ms sustained).
+            #  - training: the skew. At train batch (B=16) the gather form's
+            #    [T,T,H,d] table + batch-of-T tiny matmuls lose badly
+            #    (77.3 -> 134.7 ms/step measured, even with a scatter-free
+            #    custom_vjp); the skew is pure pad/reshape/slice with cheap
+            #    transpose adjoints.
             Tq, Tk = q.shape[1], k.shape[1]
-            L = (bd_full.shape[-1] + 1) // 2
-            if Tq == Tk == L:
-                # Transformer-XL relative shift: pad/reshape/slice instead of
-                # a gather (TPU gathers on this pattern are ~10x slower).
-                # Table rows are offsets (L-1)..-(L-1); espnet convention
-                # (fairseq/modules/espnet_multihead_attention.py rel_shift):
+            L = (p.shape[0] + 1) // 2
+            if Tq == Tk == L and deterministic:
+                # square self-attn: custom_vjp keeps the backward scatter-free
+                # should anything differentiate an eval-mode apply
+                bd = _rel_bd(q_v, p)
+            elif Tq == Tk == L:
+                # Transformer-XL relative shift: pad/reshape/slice. Table
+                # rows are offsets (L-1)..-(L-1):
                 # bd[i, j] = bd_full[i, j - i + (L-1)]  <=> offset (i - j)
-                y = bd_full
+                y = jnp.einsum("bqhd,phd->bhqp", q_v, p)
                 B_, H_ = y.shape[0], y.shape[1]
                 y = jnp.pad(y, ((0, 0), (0, 0), (0, 0), (0, 1)))
                 y = y.reshape(B_, H_, 2 * L * L)[:, :, : (2 * L - 1) * L]
                 y = y.reshape(B_, H_, L, 2 * L - 1)
                 bd = y[:, :, :, L - 1 :]
+            elif deterministic:
+                bd = jnp.einsum(
+                    "bqhd,qkhd->bhqk", q_v, _gather_p_shift(p, Tq, Tk)
+                )
             else:
+                bd_full = jnp.einsum("bqhd,phd->bhqp", q_v, p)
                 qi = jnp.arange(Tq)[:, None]
                 kj = jnp.arange(Tk)[None, :]
                 idx = jnp.clip((L - 1) + (kj - qi), 0, bd_full.shape[-1] - 1)
                 idx_b = jnp.broadcast_to(
-                    idx[None, None], (bd_full.shape[0], bd_full.shape[1], Tq, Tk)
+                    idx[None, None],
+                    (bd_full.shape[0], bd_full.shape[1], Tq, Tk),
                 )
                 bd = jnp.take_along_axis(bd_full, idx_b, axis=-1)
             scores = (ac + bd) * scale

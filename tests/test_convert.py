@@ -520,19 +520,16 @@ class _TorchConformerLayer:
         return self.final_ln(h)
 
 
-def test_conformer_transducer_full_logits_parity():
-    """VERDICT item 7: whole-model logits parity on the flagship path.
-    Fabricate a reference conformer-transducer state_dict, run a plain-torch
-    reimplementation of the FULL reference forward (conv frontend -> fc0 ->
-    conformer stack -> final LN | embed -> LSTM prediction net | joint
-    relu(LN(proj_enc)+LN(proj_dec)) -> weight-norm fc_out; reference
-    speech_transformer_transducer_base.py:221-299,
-    speech_transformer_encoder.py:298-400 with embed_scale=1.0 because fc0
-    is present :81-86, speech_lstm.py:766-887 LM mode), and assert the
-    converted model's B x T x U x V lattice matches elementwise."""
-    torch.manual_seed(7)
+def build_flagship_transducer(seed=7):
+    """Fabricate a reference conformer-transducer (torch modules + espresso
+    state_dict) and its converted espresso_tpu twin. Shared by the
+    whole-model logits parity test and the hypothesis-level decode parity
+    tests (VERDICT r2 item 5)."""
+    from types import SimpleNamespace
+
+    torch.manual_seed(seed)
     D, H, FFN, K, V, F, E, P, J = 16, 4, 32, 5, 11, 8, 8, 12, 10
-    B, T, U, LAYERS = 2, 13, 5, 2
+    LAYERS = 2
 
     # --- torch reference modules ---
     conv = tnn.Conv2d(1, 4, (3, 3), stride=(2, 2), padding=(1, 1))
@@ -586,37 +583,6 @@ def test_conformer_transducer_full_logits_parity():
     for i, layer in enumerate(layers):
         layer.state_into(sd, f"encoder.layers.{i}")
 
-    x = torch.randn(B, T, F)
-    prev = torch.randint(0, V, (B, U))
-
-    with torch.no_grad():
-        # encoder: conv frontend (NCHW, bn eval, relu) -> flatten C*F'
-        h = tF.relu(bn0(conv(x.view(B, T, 1, F).transpose(1, 2))))
-        Tc = h.size(2)
-        h = h.transpose(1, 2).contiguous().view(B, Tc, -1)
-        h = fc0(h)  # embed_scale = 1.0 (fc0 present)
-        pos_emb = _espnet_pos_emb(Tc, D)
-        for layer in layers:
-            h = layer.forward(h, pos_emb)
-        enc_out = enc_ln(h)  # [B, Tc, D]
-        # prediction net (LM mode: input chains through the cells)
-        e = embed(prev)  # [B, U, E]
-        h0 = c0 = torch.zeros(B, P)
-        h1 = c1 = torch.zeros(B, P)
-        feats = []
-        for j in range(U):
-            h0, c0 = cell0(e[:, j], (h0, c0))
-            h1, c1 = cell1(h0, (h1, c1))
-            feats.append(h1)
-        dec_out = torch.stack(feats, dim=1)  # [B, U, P]
-        # joint + weight-norm output head
-        ej = ln_enc(proj_enc(enc_out)).unsqueeze(2)  # [B, Tc, 1, J]
-        dj = ln_dec(proj_dec(dec_out)).unsqueeze(1)  # [B, 1, U, J]
-        w_eff = wn_g * wn_v / torch.norm(wn_v, dim=1, keepdim=True)
-        ref = (
-            tF.relu(ej + dj) @ w_eff.t() + wn_b
-        ).numpy()  # [B, Tc, U, V]
-
     from espresso_tpu.cli.convert_espresso_checkpoint import (
         convert_speech_transformer_transducer,
     )
@@ -639,8 +605,73 @@ def test_conformer_transducer_full_logits_parity():
         joint_dim=J, pred_dropout=0.0,
     )
     model = TransducerModel(cfg)
-    lattice, enc = model.apply(
-        {"params": params, "batch_stats": batch_stats},
+    w_eff = wn_g * wn_v / torch.norm(wn_v, dim=1, keepdim=True)
+
+    def torch_encode(x):
+        """Reference encoder forward: conv frontend -> fc0 -> conformer
+        stack -> final LN. Returns [B, Tc, D]."""
+        with torch.no_grad():
+            B_, T_ = x.shape[0], x.shape[1]
+            h = tF.relu(bn0(conv(x.view(B_, T_, 1, F).transpose(1, 2))))
+            Tc = h.size(2)
+            h = h.transpose(1, 2).contiguous().view(B_, Tc, -1)
+            h = fc0(h)  # embed_scale = 1.0 (fc0 present)
+            pos_emb = _espnet_pos_emb(Tc, D)
+            for layer in layers:
+                h = layer.forward(h, pos_emb)
+            return enc_ln(h)
+
+    return SimpleNamespace(
+        dims=dict(D=D, H=H, FFN=FFN, K=K, V=V, F=F, E=E, P=P, J=J,
+                  LAYERS=LAYERS),
+        conv=conv, bn0=bn0, fc0=fc0, layers=layers, enc_ln=enc_ln,
+        embed=embed, cell0=cell0, cell1=cell1, proj_enc=proj_enc,
+        proj_dec=proj_dec, ln_enc=ln_enc, ln_dec=ln_dec,
+        wn_g=wn_g, wn_v=wn_v, wn_b=wn_b, w_eff=w_eff, sd=sd,
+        params=params, batch_stats=batch_stats, cfg=cfg, model=model,
+        torch_encode=torch_encode,
+    )
+
+
+def test_conformer_transducer_full_logits_parity():
+    """VERDICT item 7: whole-model logits parity on the flagship path.
+    Fabricate a reference conformer-transducer state_dict, run a plain-torch
+    reimplementation of the FULL reference forward (conv frontend -> fc0 ->
+    conformer stack -> final LN | embed -> LSTM prediction net | joint
+    relu(LN(proj_enc)+LN(proj_dec)) -> weight-norm fc_out; reference
+    speech_transformer_transducer_base.py:221-299,
+    speech_transformer_encoder.py:298-400 with embed_scale=1.0 because fc0
+    is present :81-86, speech_lstm.py:766-887 LM mode), and assert the
+    converted model's B x T x U x V lattice matches elementwise."""
+    fx = build_flagship_transducer(seed=7)
+    d = fx.dims
+    V, F, E, P, J = d["V"], d["F"], d["E"], d["P"], d["J"]
+    B, T, U = 2, 13, 5
+
+    x = torch.randn(B, T, F)
+    prev = torch.randint(0, V, (B, U))
+
+    with torch.no_grad():
+        enc_out = fx.torch_encode(x)  # [B, Tc, D]
+        # prediction net (LM mode: input chains through the cells)
+        e = fx.embed(prev)  # [B, U, E]
+        h0 = c0 = torch.zeros(B, P)
+        h1 = c1 = torch.zeros(B, P)
+        feats = []
+        for j in range(U):
+            h0, c0 = fx.cell0(e[:, j], (h0, c0))
+            h1, c1 = fx.cell1(h0, (h1, c1))
+            feats.append(h1)
+        dec_out = torch.stack(feats, dim=1)  # [B, U, P]
+        # joint + weight-norm output head
+        ej = fx.ln_enc(fx.proj_enc(enc_out)).unsqueeze(2)  # [B, Tc, 1, J]
+        dj = fx.ln_dec(fx.proj_dec(dec_out)).unsqueeze(1)  # [B, 1, U, J]
+        ref = (
+            tF.relu(ej + dj) @ fx.w_eff.t() + fx.wn_b
+        ).numpy()  # [B, Tc, U, V]
+
+    lattice, enc = fx.model.apply(
+        {"params": fx.params, "batch_stats": fx.batch_stats},
         jnp.asarray(x.numpy()),
         jnp.asarray([T, T]),
         jnp.asarray(prev.numpy().astype(np.int32)),
