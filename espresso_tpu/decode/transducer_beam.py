@@ -90,6 +90,70 @@ def _exact_topk_rows(x: jnp.ndarray, k: int, block: int = 128):
     return v, gsel * block + (i2 % block)
 
 
+def _prep_big_lm(lm_params):
+    """Row-major fast path for LSTM-LM shallow fusion when the weight stack
+    exceeds the fused step kernel's VMEM budget (the reference flagship LMs:
+    librispeech 4x800, swbd 3x1800 — run.sh Stage 7).
+
+    Two layout changes, both exact:
+
+      * State is [BK, L, H] instead of the generic adapter's [L, BK, H] —
+        the per-round beam reorders and the frame-end version combine become
+        contiguous ROW gathers. (The axis-1 gathers XLA emits for the
+        generic carry ran at ~530 GB/s and dragged a [L,BK,H]<->[BK,L,H]
+        layout copy behind every one of them — together the largest
+        LM-fusion cost after the gate matmuls themselves.)
+      * The layer-0 input projection folds into the embedding table:
+        (E @ W_ih0 + b0)[tok] == E[tok] @ W_ih0 + b0 row-exactly, so one
+        [V, 4H] lookup replaces a per-step [BK, E] x [E, 4H] matmul.
+
+    Semantics match ``scanned_decoder_step`` in LM mode (no encoder, no
+    dropout; ``decoder_residual`` cannot be set through LSTMLMConfig, see
+    models/lstm_lm._to_decoder_cfg). Returns None if the params don't look
+    like a plain LSTM decoder stack.
+    """
+    try:
+        n_lyr = 0
+        while f"cell{n_lyr}_ih" in lm_params:
+            n_lyr += 1
+        embed = lm_params["embed_tokens"]["embedding"]
+        kih = [lm_params[f"cell{i}_ih"]["kernel"] for i in range(n_lyr)]
+        bih = [lm_params[f"cell{i}_ih"]["bias"] for i in range(n_lyr)]
+        khh = [lm_params[f"cell{i}_hh"]["kernel"] for i in range(n_lyr)]
+    except (KeyError, TypeError):
+        return None
+    if n_lyr == 0 or embed.ndim != 2 or embed.shape[1] != kih[0].shape[0]:
+        return None
+    H = khh[0].shape[0]
+    if any(k.shape != (H, 4 * H) for k in khh):
+        return None
+    if any(k.shape != (H, 4 * H) for k in kih[1:]) or kih[0].shape[1] != 4 * H:
+        return None
+    embed_pre = embed @ kih[0] + bih[0]  # [V_lm, 4H]
+    return dict(
+        embed_pre=embed_pre, kih=kih[1:], bih=bih[1:], khh=khh, L=n_lyr, H=H
+    )
+
+
+def _big_lm_step(big, tok, h, c):
+    """One LM advance on row-major state: tok [BK] (LM indices),
+    h/c [BK, L, H] -> (top hidden [BK, H], h', c')."""
+    from espresso_tpu.modules.lstm import lstm_gates
+
+    pre = jnp.take(big["embed_pre"], tok, axis=0)
+    hs, cs = [], []
+    x = None
+    for i in range(big["L"]):
+        if i > 0:
+            pre = x @ big["kih"][i - 1] + big["bih"][i - 1]
+        p = pre + h[:, i] @ big["khh"][i]
+        hi, ci = lstm_gates(p, h[:, i], c[:, i])
+        hs.append(hi)
+        cs.append(ci)
+        x = hi
+    return x, jnp.stack(hs, axis=1), jnp.stack(cs, axis=1)
+
+
 class TransducerBeamSearchDecoder:
     def __init__(
         self,
@@ -259,26 +323,34 @@ class TransducerBeamSearchDecoder:
             use_lm_kernel = False
             lm_k = None
             lm_params = None
-            if fused_mode != "off" and lm_adapter is not None:
+            is_lstm_lm = False
+            if lm_adapter is not None:
                 from espresso_tpu.decode.api import LMAdapter as _LSTMAdapter
 
                 if type(lm_adapter) is _LSTMAdapter:
+                    is_lstm_lm = True
                     try:
                         lm_params = lm_variables["params"]["decoder"]
                     except (KeyError, TypeError):
                         lm_params = None
-                    if lm_params is not None:
-                        lm_k = prep_lstm_kernel_inputs(lm_params)
-                    if lm_k is not None:
-                        use_lm_kernel = fused_interpret or (
-                            supports_lstm_step_reorder(
-                                B,
-                                K,
-                                lm_k["Hp"],
-                                lm_k["Hp"],
-                                lm_k["w_ih"].shape[0],
-                            )
+            if fused_mode != "off" and is_lstm_lm and lm_params is not None:
+                lm_k = prep_lstm_kernel_inputs(lm_params)
+                if lm_k is not None:
+                    use_lm_kernel = fused_interpret or (
+                        supports_lstm_step_reorder(
+                            B,
+                            K,
+                            lm_k["Hp"],
+                            lm_k["Hp"],
+                            lm_k["w_ih"].shape[0],
                         )
+                    )
+            # big-LM fast path: row-major state + embedding-folded layer-0
+            # projection for LSTM LMs the step kernel can't hold in VMEM
+            big_lm = None
+            if is_lstm_lm and not use_lm_kernel and lm_params is not None:
+                big_lm = _prep_big_lm(lm_params)
+            use_big_lm = big_lm is not None
 
             def lm_logits_from_hidden(out):
                 """Post-cell LM head, replicating the reference LSTM
@@ -337,9 +409,18 @@ class TransducerBeamSearchDecoder:
                 lm_max_len = (
                     enc.encoder_out.shape[1] * max(n_exp, 1) + 1
                 )
-                s0 = lm_adapter.init_state(lm_variables, None, BK, lm_max_len)
                 eos_lm = jnp.full((BK,), self.dict.eos() - 1, jnp.int32)
-                lg0, s0, _ = lm_adapter.step(lm_variables, eos_lm, s0)
+                if use_big_lm:
+                    zdt = big_lm["embed_pre"].dtype
+                    h0 = jnp.zeros((BK, big_lm["L"], big_lm["H"]), zdt)
+                    out_h, h0, c0 = _big_lm_step(big_lm, eos_lm, h0, h0)
+                    lg0 = lm_logits_from_hidden(out_h)
+                    s0 = (h0, c0)
+                else:
+                    s0 = lm_adapter.init_state(
+                        lm_variables, None, BK, lm_max_len
+                    )
+                    lg0, s0, _ = lm_adapter.step(lm_variables, eos_lm, s0)
                 if use_lm_kernel and lm_k["Hp"] != lm_k["H"]:
                     # the kernel path carries gate-padded h/c (padded
                     # channels provably stay 0 — prep_lstm_kernel_inputs)
@@ -983,9 +1064,16 @@ class TransducerBeamSearchDecoder:
                             )
                         else:
                             st, _ = exp_lm
-                            lg, new_st, _ = lm_adapter.step(
-                                lm_variables, lm_tok, st
-                            )
+                            if use_big_lm:
+                                out_h, h_n, c_n = _big_lm_step(
+                                    big_lm, lm_tok, st[0], st[1]
+                                )
+                                lg = lm_logits_from_hidden(out_h)
+                                new_st = (h_n, c_n)
+                            else:
+                                lg, new_st, _ = lm_adapter.step(
+                                    lm_variables, lm_tok, st
+                                )
                             new_exp_lm = (
                                 new_st,
                                 jax.nn.log_softmax(
