@@ -47,11 +47,15 @@ struct Frame {
 
 extern "C" {
 
-// Returns the number of output labels written to out_labels (capped at
-// out_cap), or -1 if no final state was reached (then the best non-final
-// token is used and the count is still written; -1 signals "not final").
-// best_cost_out receives the total path cost (including final weight when
-// reached).
+// Returns n >= 0 (the number of output labels on the best FINAL path) or
+// the encoding -(n + 1) when no final state was reached (the best
+// non-final token is backtraced instead; n is still its label count).
+// At most min(n, out_cap) labels are written to out_labels — compare the
+// decoded count against out_cap and retry with a larger buffer on
+// truncation (epsilon word arcs are not bounded by T, so no T-derived cap
+// is safe a priori). best_cost_out receives the total path cost
+// (including the final weight when reached). Returns INT32_MIN only for
+// the degenerate no-token case (empty graph).
 int32_t fst_viterbi_decode(
     const int32_t* arc_offsets,  // [S+1]
     const int32_t* arc_dst,      // [A]
@@ -173,14 +177,16 @@ int32_t fst_viterbi_decode(
     }
   }
   *best_cost_out = best_cost;
-  if (best_tok < 0) return -1;
+  if (best_tok < 0) return std::numeric_limits<int32_t>::min();
 
   // backtrace, collecting non-epsilon output labels
   std::vector<int32_t> rev;
   for (int32_t tk = best_tok; tk >= 0; tk = arena[tk].back)
     if (arena[tk].olabel != 0) rev.push_back(arena[tk].olabel);
-  int32_t n = (int32_t)std::min<size_t>(rev.size(), (size_t)out_cap);
-  for (int32_t i = 0; i < n; ++i) out_labels[i] = rev[rev.size() - 1 - i];
+  int32_t n = (int32_t)rev.size();
+  int32_t n_write = std::min(n, out_cap);
+  for (int32_t i = 0; i < n_write; ++i)
+    out_labels[i] = rev[rev.size() - 1 - i];
   return reached_final ? n : -(n + 1);
 }
 

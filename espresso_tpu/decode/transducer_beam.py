@@ -307,10 +307,20 @@ class TransducerBeamSearchDecoder:
                             ),
                             w_hh=jnp.stack(khh),
                         )
-                        use_pred_kernel = fused_interpret or (
-                            supports_lstm_step_reorder(
-                                B, K, Hp, pred_embed.shape[1], n_lyr
-                            )
+                        # interpret mode bypasses only the backend check;
+                        # the VMEM/shape/dtype gates still apply so an
+                        # over-budget stack falls back to the jnp path
+                        # instead of tripping the bb assert in the kernel
+                        use_pred_kernel = supports_lstm_step_reorder(
+                            B,
+                            K,
+                            Hp,
+                            pred_embed.shape[1],
+                            n_lyr,
+                            dtype=jax.tree_util.tree_leaves(variables)[
+                                0
+                            ].dtype,
+                            require_tpu=not fused_interpret,
                         )
                 except (KeyError, TypeError):
                     use_pred_kernel = False
@@ -336,14 +346,16 @@ class TransducerBeamSearchDecoder:
             if fused_mode != "off" and is_lstm_lm and lm_params is not None:
                 lm_k = prep_lstm_kernel_inputs(lm_params)
                 if lm_k is not None:
-                    use_lm_kernel = fused_interpret or (
-                        supports_lstm_step_reorder(
-                            B,
-                            K,
-                            lm_k["Hp"],
-                            lm_k["Hp"],
-                            lm_k["w_ih"].shape[0],
-                        )
+                    use_lm_kernel = supports_lstm_step_reorder(
+                        B,
+                        K,
+                        lm_k["Hp"],
+                        lm_k["Hp"],
+                        lm_k["w_ih"].shape[0],
+                        dtype=jax.tree_util.tree_leaves(lm_variables)[
+                            0
+                        ].dtype,
+                        require_tpu=not fused_interpret,
                     )
             # big-LM fast path: row-major state + embedding-folded layer-0
             # projection for LSTM LMs the step kernel can't hold in VMEM

@@ -50,6 +50,10 @@ def _rel_bd(q_v: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     diagonal-sum with a masked pad/reshape — no scatter anywhere.
     """
     T = q_v.shape[1]
+    # the inverse skew in _rel_bd_bwd is only valid for the square case
+    # (table rows == 2T-1); a non-square call would produce silently wrong
+    # dp grads while the forward still worked
+    assert T == (p.shape[0] + 1) // 2, (T, p.shape)
     return jnp.einsum("bqhd,qkhd->bhqk", q_v, _gather_p_shift(p, T, T))
 
 
@@ -61,6 +65,7 @@ def _rel_bd_bwd(res, dbd):
     q_v, p = res
     T = q_v.shape[1]
     L = (p.shape[0] + 1) // 2
+    assert T == L, (T, p.shape)  # inverse skew assumes Tq == Tk == L
     # dq_v: contract dbd with the (re-gathered) shifted table
     p_shift = _gather_p_shift(p, T, T)
     dq_v = jnp.einsum("bhqk,qkhd->bqhd", dbd, p_shift).astype(q_v.dtype)

@@ -407,7 +407,15 @@ def _pick_lstm_bb(B: int, K: int, H: int, L: int) -> Optional[int]:
     return None
 
 
-def supports_lstm_step_reorder(B: int, K: int, H: int, E: int, L: int) -> bool:
+def supports_lstm_step_reorder(
+    B: int,
+    K: int,
+    H: int,
+    E: int,
+    L: int,
+    dtype=None,
+    require_tpu: bool = True,
+) -> bool:
     """Shape gate for the fused decode LSTM step: the input embedding must
     match the hidden width (true for the transducer pred-net and, after
     gate-padding, the LSTM LMs), H lane-aligned, and the WHOLE weight
@@ -415,13 +423,27 @@ def supports_lstm_step_reorder(B: int, K: int, H: int, E: int, L: int) -> bool:
     keeps all weights resident across the batch grid (the streaming
     variant re-fetched ~8 MB of weights per batch block and was
     DMA-bound). Big LMs (e.g. 3x1024: 50 MB of weights) fall back to the
-    XLA path."""
-    return (
-        E == H
-        and H % 128 == 0
-        and _pick_lstm_bb(B, K, H, L) is not None
-        and jax.default_backend() in ("tpu", "axon")
-    )
+    XLA path.
+
+    ``dtype`` is the decode carry dtype: the kernel computes its recurrence
+    in bf16, which is exact vs the jnp path only when the model itself runs
+    bf16. f32 carries stay on the jnp path (f32 recurrence) unless
+    ``ESPRESSO_LSTM_KERNEL_F32=1`` explicitly accepts the per-step bf16
+    rounding. ``require_tpu=False`` (interpret mode) skips the
+    backend/lane-alignment/dtype checks — parity tests opt in knowingly —
+    but keeps the structural (E == H) and VMEM gates, so an over-budget
+    weight stack falls back to the jnp path instead of tripping the
+    kernel's bb assert.
+    """
+    import os
+
+    if require_tpu:
+        if dtype is not None and jnp.dtype(dtype) != jnp.bfloat16:
+            if os.environ.get("ESPRESSO_LSTM_KERNEL_F32", "0") != "1":
+                return False
+        if H % 128 != 0 or jax.default_backend() not in ("tpu", "axon"):
+            return False
+    return E == H and _pick_lstm_bb(B, K, H, L) is not None
 
 
 def lstm_step_reorder(

@@ -156,21 +156,35 @@ class FstDecoder:
         ll = np.ascontiguousarray(loglikes, np.float32)
         T = ll.shape[0]
         if self._lib is not None:
-            out = np.zeros(max(16, 4 * T + 16), np.int32)
-            cost = ctypes.c_float(0.0)
             g = self.graph
-            n = self._lib.fst_viterbi_decode(
-                g.arc_offsets, g.arc_dst, g.arc_il, g.arc_ol,
-                np.ascontiguousarray(g.arc_w),
-                np.ascontiguousarray(g.final_w),
-                g.num_states, g.start,
-                ll, T, ll.shape[1],
-                self.acoustic_scale, self.beam, self.max_active,
-                out, len(out), ctypes.byref(cost),
-            )
-            reached_final = n >= 0
-            count = n if n >= 0 else (-n) - 1
-            return out[:count].tolist(), float(cost.value), reached_final
+            cap = max(16, 4 * T + 16)
+            while True:
+                out = np.zeros(cap, np.int32)
+                cost = ctypes.c_float(0.0)
+                n = self._lib.fst_viterbi_decode(
+                    g.arc_offsets, g.arc_dst, g.arc_il, g.arc_ol,
+                    np.ascontiguousarray(g.arc_w),
+                    np.ascontiguousarray(g.final_w),
+                    g.num_states, g.start,
+                    ll, T, ll.shape[1],
+                    self.acoustic_scale, self.beam, self.max_active,
+                    out, cap, ctypes.byref(cost),
+                )
+                if n == np.iinfo(np.int32).min:  # no token at all
+                    return [], float(cost.value), False
+                reached_final = n >= 0
+                count = n if n >= 0 else (-n) - 1
+                if count <= cap:
+                    return (
+                        out[:count].tolist(), float(cost.value), reached_final
+                    )
+                # epsilon word arcs aren't bounded by T, so the initial cap
+                # can truncate eps-heavy graphs — retry with the exact count
+                logger.warning(
+                    "fst decode output (%d labels) exceeded the %d-label "
+                    "buffer; retrying", count, cap,
+                )
+                cap = count
         return self._decode_numpy(ll)
 
     # --- pure-NumPy fallback (same algorithm, also the test oracle) ---

@@ -447,3 +447,55 @@ def test_lstm_step_reorder_bf16_state():
     np.testing.assert_allclose(
         np.asarray(got_c, np.float32), np.asarray(ref_c), rtol=2e-2, atol=2e-2
     )
+
+
+def test_exact_topk_rows_tie_robustness():
+    """_exact_topk_rows claims values match lax.top_k exactly with only tie
+    index ORDER possibly differing. Pin that under adversarial tie-heavy
+    inputs: the selected VALUE multiset must equal lax.top_k's, the indices
+    must be unique per row, and gathering x at the returned indices must
+    reproduce the returned values (VERDICT r3 weak #4)."""
+    from espresso_tpu.decode.transducer_beam import NEG_INF, _exact_topk_rows
+
+    k, block, C = 8, 128, 1280  # C % block == 0 and C > k*block -> fast path
+    rng = np.random.default_rng(0)
+
+    def check(x):
+        x = jnp.asarray(x, jnp.float32)
+        v, i = jax.jit(lambda a: _exact_topk_rows(a, k, block=block))(x)
+        rv, _ = jax.lax.top_k(x, k)
+        v_np, i_np, rv_np = np.asarray(v), np.asarray(i), np.asarray(rv)
+        x_np = np.asarray(x)
+        # value multiset identical to lax.top_k (both sorted descending)
+        np.testing.assert_array_equal(np.sort(v_np, -1), np.sort(rv_np, -1))
+        for b in range(x.shape[0]):
+            assert len(set(i_np[b].tolist())) == k, i_np[b]  # distinct picks
+            np.testing.assert_array_equal(x_np[b, i_np[b]], v_np[b])
+
+    B = 4
+    # (a) everything NEG_INF (fully masked rows)
+    check(np.full((B, C), NEG_INF, np.float32))
+    # (b) all-equal rows
+    check(np.ones((B, C), np.float32) * 3.25)
+    # (c) top value duplicated way more than k times, scattered across blocks
+    x = np.full((B, C), NEG_INF, np.float32)
+    for b in range(B):
+        pos = rng.choice(C, size=5 * k, replace=False)
+        x[b, pos] = 7.5
+    check(x)
+    # (d) ties exactly at the k-th value boundary: k//2 strictly-greater
+    # values + many tied at the boundary
+    x = np.zeros((B, C), np.float32)
+    for b in range(B):
+        hi = rng.choice(C, size=k // 2, replace=False)
+        x[b, hi] = 9.0
+        tied = rng.choice(np.setdiff1d(np.arange(C), hi), size=3 * k,
+                          replace=False)
+        x[b, tied] = 5.0
+    check(x)
+    # (e) coarse integer grid: dense random ties everywhere
+    check(rng.integers(-3, 3, size=(B, C)).astype(np.float32))
+    # (f) one block holds ALL the top values (concentration case)
+    x = np.zeros((B, C), np.float32)
+    x[:, :k] = 8.0
+    check(x)
