@@ -125,6 +125,27 @@ def _native_lib() -> Optional[ctypes.CDLL]:
             i32p, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
         ]
         lib.fst_viterbi_decode.restype = ctypes.c_int32
+        lib.fst_lattice_decode.argtypes = [
+            i32p, i32p, i32p, i32p, f32p, f32p,
+            ctypes.c_int32, ctypes.c_int32,
+            f32p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.fst_lattice_decode.restype = ctypes.c_void_p
+        lib.lattice_sizes.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.lattice_sizes.restype = None
+        lib.lattice_copy.argtypes = [
+            ctypes.c_void_p, i32p, f32p, i32p, i32p, i32p, i32p, f32p, f32p,
+        ]
+        lib.lattice_copy.restype = None
+        lib.lattice_free.argtypes = [ctypes.c_void_p]
+        lib.lattice_free.restype = None
         lib._configured = True
     return lib
 
@@ -241,6 +262,244 @@ class FstDecoder:
                 labels.append(ol)
             tk = back
         return labels[::-1], float(best_cost), reached_final
+
+    # --- lattice decoding (the latgen-faster-mapped contract) ---
+
+    def decode_lattice(
+        self,
+        loglikes: np.ndarray,
+        lattice_beam: float = 8.0,
+        min_active: int = 20,
+    ):
+        """Decode to a pruned lattice (tools.lattice.Lattice, status str).
+
+        Rebuilds the reference's ``latgen-faster-mapped --lattice-beam``
+        stage (run_chain_e2e.sh:218-222): the lattice keeps every path
+        whose best completion is within ``lattice_beam`` of the best path,
+        with graph and acoustic costs stored separately so the scoring
+        stage can rescale/rescore exactly. status: 'final' | 'partial'."""
+        from espresso_tpu.tools.lattice import Lattice
+
+        ll = np.ascontiguousarray(loglikes, np.float32)
+        T = ll.shape[0]
+        if self._lib is not None:
+            g = self.graph
+            status = ctypes.c_int32(0)
+            cost = ctypes.c_float(0.0)
+            h = self._lib.fst_lattice_decode(
+                g.arc_offsets, g.arc_dst, g.arc_il, g.arc_ol,
+                np.ascontiguousarray(g.arc_w),
+                np.ascontiguousarray(g.final_w),
+                g.num_states, g.start,
+                ll, T, ll.shape[1],
+                self.acoustic_scale, self.beam,
+                float(lattice_beam), int(min_active), self.max_active,
+                ctypes.byref(status), ctypes.byref(cost),
+            )
+            try:
+                nn = ctypes.c_int32(0)
+                na = ctypes.c_int32(0)
+                self._lib.lattice_sizes(
+                    h, ctypes.byref(nn), ctypes.byref(na)
+                )
+                N, A = nn.value, na.value
+                node_frame = np.zeros(N, np.int32)
+                node_final = np.zeros(N, np.float32)
+                arc_src = np.zeros(A, np.int32)
+                arc_dst = np.zeros(A, np.int32)
+                arc_il = np.zeros(A, np.int32)
+                arc_ol = np.zeros(A, np.int32)
+                arc_g = np.zeros(A, np.float32)
+                arc_a = np.zeros(A, np.float32)
+                self._lib.lattice_copy(
+                    h, node_frame, node_final, arc_src, arc_dst,
+                    arc_il, arc_ol, arc_g, arc_a,
+                )
+            finally:
+                self._lib.lattice_free(h)
+            lat = Lattice(
+                node_frame, node_final, arc_src, arc_dst, arc_il,
+                arc_ol, arc_g, arc_a,
+            )
+            return lat, ("final" if status.value == 1 else "partial")
+        return self._decode_lattice_numpy(ll, lattice_beam, min_active)
+
+    def _decode_lattice_numpy(
+        self, ll: np.ndarray, lattice_beam: float, min_active: int
+    ):
+        """Pure-NumPy mirror of clib fst_lattice_decode (same pruning
+        semantics, incl. the adaptive next-frame cutoff) — the oracle for
+        native/NumPy agreement tests and the no-toolchain fallback."""
+        from espresso_tpu.tools.lattice import Lattice
+
+        g = self.graph
+        T = ll.shape[0]
+        # token arrays: cost, state, frame, links list
+        toks: List[dict] = []
+        frames: List[List[int]] = [[]]
+        tok_of_state: dict = {}
+
+        def new_token(frame, state, cost):
+            ti = len(toks)
+            toks.append(
+                dict(cost=cost, state=state, frame=frame, links=[],
+                     eps_expanded=False)
+            )
+            frames[frame].append(ti)
+            tok_of_state[state] = ti
+            return ti
+
+        def get_token(frame, state, cost):
+            if state not in tok_of_state:
+                return new_token(frame, state, cost)
+            ti = tok_of_state[state]
+            if cost < toks[ti]["cost"]:
+                toks[ti]["cost"] = cost
+            return ti
+
+        def eps_closure(frame):
+            queue = list(frames[frame])
+            qi = 0
+            while qi < len(queue):
+                ti = queue[qi]
+                qi += 1
+                c = toks[ti]["cost"]
+                s = toks[ti]["state"]
+                if not toks[ti]["eps_expanded"]:
+                    toks[ti]["eps_expanded"] = True
+                    for a in range(g.arc_offsets[s], g.arc_offsets[s + 1]):
+                        if int(g.arc_il[a]) != 0:
+                            continue
+                        nc = c + float(g.arc_w[a])
+                        before = len(toks)
+                        di = get_token(frame, int(g.arc_dst[a]), nc)
+                        toks[ti]["links"].append(
+                            (di, 0, int(g.arc_ol[a]), float(g.arc_w[a]),
+                             0.0)
+                        )
+                        if len(toks) > before or toks[di]["cost"] == nc:
+                            queue.append(di)
+                else:
+                    for (di, il, _ol, gw, _ac) in toks[ti]["links"]:
+                        if il != 0:
+                            continue
+                        nc = c + gw
+                        if nc < toks[di]["cost"]:
+                            toks[di]["cost"] = nc
+                            queue.append(di)
+
+        new_token(0, g.start, 0.0)
+        eps_closure(0)
+        for t in range(T):
+            costs = np.asarray([toks[ti]["cost"] for ti in frames[t]])
+            cutoff = float(costs.min()) + self.beam
+            if self.max_active > 0 and len(costs) > self.max_active:
+                part = np.partition(costs, self.max_active - 1)
+                max_cut = float(part[self.max_active - 1])
+                if max_cut < cutoff:
+                    cutoff = max_cut
+                    if min_active > 0 and len(costs) > min_active:
+                        cutoff = max(
+                            cutoff,
+                            float(
+                                np.partition(costs, min_active - 1)[
+                                    min_active - 1
+                                ]
+                            ),
+                        )
+            frames.append([])
+            tok_of_state = {}
+            next_cutoff = np.inf
+            for ti in frames[t]:
+                c = toks[ti]["cost"]
+                if c > cutoff:
+                    continue
+                s = toks[ti]["state"]
+                for a in range(g.arc_offsets[s], g.arc_offsets[s + 1]):
+                    il = int(g.arc_il[a])
+                    if il == 0 or il - 1 >= ll.shape[1]:
+                        continue
+                    ac = -self.acoustic_scale * float(ll[t, il - 1])
+                    nc = c + float(g.arc_w[a]) + ac
+                    if nc > next_cutoff:
+                        continue
+                    if nc + self.beam < next_cutoff:
+                        next_cutoff = nc + self.beam
+                    di = get_token(t + 1, int(g.arc_dst[a]), nc)
+                    toks[ti]["links"].append(
+                        (di, il, int(g.arc_ol[a]), float(g.arc_w[a]), ac)
+                    )
+            if not frames[t + 1]:
+                frames.pop()
+                break
+            eps_closure(t + 1)
+
+        last = len(frames) - 1
+        reached_final = any(
+            np.isfinite(g.final_w[toks[ti]["state"]]) for ti in frames[last]
+        )
+        # backward extra-cost pruning
+        beta = np.full(len(toks), np.inf)
+        for ti in frames[last]:
+            beta[ti] = (
+                float(g.final_w[toks[ti]["state"]]) if reached_final else 0.0
+            )
+        for fr in range(last, -1, -1):
+            for _ in range(len(frames[fr]) + 1):
+                changed = False
+                for ti in frames[fr]:
+                    b = beta[ti]
+                    for (di, _il, _ol, gw, ac) in toks[ti]["links"]:
+                        nb = gw + ac + beta[di]
+                        if nb < b:
+                            b = nb
+                    if b < beta[ti]:
+                        beta[ti] = b
+                        changed = True
+                if not changed:
+                    break
+        best_total = min(
+            (toks[ti]["cost"] + beta[ti] for ti in frames[0]),
+            default=np.inf,
+        )
+        margin = lattice_beam + 1e-4
+        remap = {}
+        node_frame: List[int] = []
+        node_final: List[float] = []
+        for ft in frames:
+            for ti in ft:
+                if toks[ti]["cost"] + beta[ti] - best_total <= margin:
+                    remap[ti] = len(node_frame)
+                    node_frame.append(toks[ti]["frame"])
+                    f = np.inf
+                    if toks[ti]["frame"] == last:
+                        f = (
+                            float(g.final_w[toks[ti]["state"]])
+                            if reached_final
+                            else 0.0
+                        )
+                    node_final.append(f)
+        arcs = []
+        for ti, tok in enumerate(toks):
+            if ti not in remap:
+                continue
+            for (di, il, ol, gw, ac) in tok["links"]:
+                if di not in remap:
+                    continue
+                if tok["cost"] + gw + ac + beta[di] > best_total + margin:
+                    continue
+                arcs.append((remap[ti], remap[di], il, ol, gw, ac))
+        lat = Lattice(
+            node_frame=np.asarray(node_frame, np.int32),
+            node_final=np.asarray(node_final, np.float32),
+            arc_src=np.asarray([a[0] for a in arcs], np.int32),
+            arc_dst=np.asarray([a[1] for a in arcs], np.int32),
+            arc_il=np.asarray([a[2] for a in arcs], np.int32),
+            arc_ol=np.asarray([a[3] for a in arcs], np.int32),
+            arc_g=np.asarray([a[4] for a in arcs], np.float32),
+            arc_a=np.asarray([a[5] for a in arcs], np.float32),
+        )
+        return lat, ("final" if reached_final else "partial")
 
     def _eps_closure(self, costs: dict, arena: list) -> dict:
         g = self.graph

@@ -172,3 +172,103 @@ def test_latgen_pipeline(tmp_path):
     m = re.search(r"WER[^0-9]*([0-9.]+)", wer_txt)
     assert m is not None, wer_txt
     assert float(m.group(1)) < 30.0, wer_txt
+    one_best_wer = float(m.group(1))
+
+    # --- full reference pipeline (run_chain_e2e.sh:218-233): lattice
+    # generation -> LMWT x WIP sweep scoring -> ARPA LM rescoring ---
+    from espresso_tpu.cli.lmrescore import main as lmrescore_main
+    from espresso_tpu.cli.score_lattices import main as score_main
+    from espresso_tpu.tools.lattice import read_lattice_archive
+
+    lat_results = os.path.join(d, "decode_test_lat")
+    lat_path = os.path.join(lat_results, "lat.npz")
+    os.makedirs(lat_results, exist_ok=True)
+    n = latgen_main(
+        [
+            "--posteriors", out_ark,
+            "--graph", graph_path,
+            "--words", words_path,
+            "--acoustic-scale", "1.0",
+            "--beam", "1000000",
+            "--lattice-beam", "10.0",
+            "--max-active", "0",
+            "--lattices-path", lat_path,
+            "--results-path", lat_results,
+            "--ref", ref_path,
+        ]
+    )
+    assert n == 4
+    lats = read_lattice_archive(lat_path)
+    assert set(lats) == set(manifest)
+    assert all(lat.num_arcs > 0 for lat in lats.values())
+
+    scoring = os.path.join(lat_results, "scoring")
+    best_wer = score_main(
+        [
+            "--lattices", lat_path,
+            "--words", words_path,
+            "--ref", ref_path,
+            "--results-path", scoring,
+            "--min-lmwt", "1",
+            "--max-lmwt", "3",
+            "--wip", "0.0,0.5",
+            "--pre-acoustic-scale", "1.0",
+        ]
+    )
+    # lattice-beam 10 at beam inf contains the 1-best path; the sweep
+    # includes (lmwt=1, wip=0) = the decode operating point, so the best
+    # sweep point can only match or beat the fixed-scale 1-best WER
+    assert best_wer <= one_best_wer + 1e-6
+    assert os.path.exists(os.path.join(scoring, "best_wer"))
+    assert os.path.exists(os.path.join(scoring, "wer_1_0.0"))
+
+    # unigram ARPA over the pdf words: uniform old LM swapped for one that
+    # matches the test-set word frequencies (must not break the pipeline)
+    ref_words = [
+        w for line in open(ref_path) for w in line.split()[1:]
+    ]
+    vocab = sorted(set(ref_words))
+    uni = 1.0 / (len(vocab) + 2)
+    old_arpa = os.path.join(d, "old.arpa")
+    with open(old_arpa, "w") as f:
+        f.write("\\data\\\nngram 1=%d\n\n\\1-grams:\n" % (len(vocab) + 2))
+        for w in ["<s>", "</s>"] + vocab:
+            f.write("%.4f %s\n" % (np.log10(uni), w))
+        f.write("\n\\end\\\n")
+    new_arpa = os.path.join(d, "new.arpa")
+    tot = len(ref_words) + 2
+    with open(new_arpa, "w") as f:
+        f.write("\\data\\\nngram 1=%d\n\n\\1-grams:\n" % (len(vocab) + 2))
+        bos_lp = np.log10(1.0 / tot)
+        f.write("%.4f <s>\n%.4f </s>\n" % (bos_lp, bos_lp))
+        for w in vocab:
+            f.write(
+                "%.4f %s\n" % (np.log10(ref_words.count(w) / tot), w)
+            )
+        f.write("\n\\end\\\n")
+
+    fg_path = os.path.join(d, "decode_test_fg", "lat.npz")
+    n = lmrescore_main(
+        [
+            "--lattices", lat_path,
+            "--words", words_path,
+            "--old-arpa", old_arpa,
+            "--arpa", new_arpa,
+            "--out", fg_path,
+        ]
+    )
+    assert n == 4
+    fg_scoring = os.path.join(d, "decode_test_fg", "scoring")
+    fg_wer = score_main(
+        [
+            "--lattices", fg_path,
+            "--words", words_path,
+            "--ref", ref_path,
+            "--results-path", fg_scoring,
+            "--min-lmwt", "1",
+            "--max-lmwt", "3",
+            "--wip", "0.0,0.5",
+            "--pre-acoustic-scale", "1.0",
+        ]
+    )
+    assert np.isfinite(fg_wer)
