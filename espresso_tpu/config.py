@@ -127,6 +127,12 @@ class DatasetConfig:
     # reference asr_dataset.py:369-382)
     batch_based_on_both_src_tgt: bool = False
     data_buffer_size: int = 4  # prefetch depth
+    # parallel host batch materialization (reference fairseq DataLoader
+    # workers, fairseq/data/iterators.py:481-532); 0 = in-line + one
+    # prefetch thread. Deterministic under workers: every stochastic
+    # transform keys on (seed, epoch, utt_index).
+    num_workers: int = 0
+    worker_backend: str = "process"  # process | thread
     # LM token-block packing over binarized {split}.bin/.idx streams
     # (fairseq TokenBlockDataset: --tokens-per-sample / --sample-break-mode)
     tokens_per_sample: int = 512

@@ -103,6 +103,9 @@ class AsrDataset:
 
         self._feat_cache: "Optional[_OD]" = _OD()
         self._feat_cache_max = 1024
+        import threading as _threading
+
+        self._feat_cache_lock = _threading.Lock()
         self._encode_targets()
         self.src_sizes = np.array(
             [
@@ -156,20 +159,38 @@ class AsrDataset:
     def __len__(self) -> int:
         return len(self.entries)
 
+    # -- pickling (process-backend collate workers) ---------------------------
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_feat_cache_lock"] = None
+        if self._feat_cache is not None:
+            state["_feat_cache"] = type(self._feat_cache)()  # ship empty LRU
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        import threading as _threading
+
+        self._feat_cache_lock = _threading.Lock()
+
     # -- feature access -----------------------------------------------------
     def _stochastic(self) -> bool:
         return self.speed_rates is not None or self.noise_augment is not None
 
     def get_features(self, index: int, epoch: int = 1) -> np.ndarray:
         use_cache = self._feat_cache is not None and not self._stochastic()
-        if use_cache and index in self._feat_cache:
-            self._feat_cache.move_to_end(index)
-            return self._feat_cache[index]
+        if use_cache:
+            # lock: thread-backend workers share this LRU
+            with self._feat_cache_lock:
+                if index in self._feat_cache:
+                    self._feat_cache.move_to_end(index)
+                    return self._feat_cache[index]
         mat = self._load_features(index, epoch)
         if use_cache:
-            self._feat_cache[index] = mat
-            if len(self._feat_cache) > self._feat_cache_max:
-                self._feat_cache.popitem(last=False)
+            with self._feat_cache_lock:
+                self._feat_cache[index] = mat
+                if len(self._feat_cache) > self._feat_cache_max:
+                    self._feat_cache.popitem(last=False)
         return mat
 
     def _transform_waveform(

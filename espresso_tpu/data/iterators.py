@@ -9,11 +9,15 @@ is done by the trainer via jax.device_put / make_array_from_process_local_data).
 
 from __future__ import annotations
 
+import logging
+import pickle
 import queue
 import threading
 from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 class CountingIterator:
@@ -125,6 +129,97 @@ class BufferedIterator:
         return item
 
 
+# -- parallel collate workers -------------------------------------------------
+# Multi-worker batch materialization (reference fairseq uses torch DataLoader
+# worker processes, fairseq/data/iterators.py:481-532; espresso's stochastic
+# transforms stay deterministic because every transform keys its RNG on
+# (transforms_seed, epoch, utt_index) — feat_text_dataset.py:151-153 — so a
+# batch's contents are a pure function of (batch_spec, epoch) regardless of
+# which worker materializes it or in what order workers finish).
+
+_WORKER_COLLATE: Optional[Callable[[Any, int], Any]] = None
+
+
+def _proc_worker_init(payload: bytes) -> None:
+    import os
+
+    # workers never run jax compute; if anything accidentally does, keep it
+    # off the (single-process) TPU
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    global _WORKER_COLLATE
+    _WORKER_COLLATE = pickle.loads(payload)
+
+
+def _proc_worker_run(spec: Any, epoch: int) -> Any:
+    assert _WORKER_COLLATE is not None
+    return _WORKER_COLLATE(spec, epoch)
+
+
+def parallel_collate_iter(
+    collate: Callable[[Any, int], Any],
+    specs: Sequence[Any],
+    epoch: int,
+    num_workers: int,
+    backend: str = "process",
+    window: Optional[int] = None,
+) -> Iterator[Any]:
+    """Ordered parallel map of ``collate`` over ``specs``.
+
+    Yields batches in spec order with at most ``window`` collations in
+    flight. ``backend='process'`` runs spawn-based worker processes (each
+    gets one pickled copy of the collate closure — the GIL never serializes
+    feature loading); ``backend='thread'`` shares the dataset in-process
+    (ark reads + numpy release the GIL for most of the work). Falls back to
+    threads if the collate closure is not picklable.
+    """
+    from concurrent.futures import Executor, ProcessPoolExecutor, ThreadPoolExecutor
+
+    window = window if window is not None else 2 * num_workers
+    pool: Executor
+    if backend == "process":
+        try:
+            payload = pickle.dumps(collate)
+            if len(payload) > 1 << 30:
+                # e.g. an mmap-backed dataset would materialize in the pickle
+                raise ValueError(f"collate closure pickles to {len(payload)} B")
+            pool = ProcessPoolExecutor(
+                max_workers=num_workers,
+                mp_context=__import__("multiprocessing").get_context("spawn"),
+                initializer=_proc_worker_init,
+                initargs=(payload,),
+            )
+            fn: Callable[[Any, int], Any] = _proc_worker_run
+        except Exception as e:  # unpicklable dataset/tokenizer etc.
+            logger.warning(
+                "process workers unavailable (%s); falling back to threads", e
+            )
+            backend = "thread"
+    if backend != "process":
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+        fn = collate
+
+    def gen() -> Iterator[Any]:
+        try:
+            pending: "queue.deque[Any]" = __import__("collections").deque()
+            it = iter(specs)
+            exhausted = False
+            while True:
+                while not exhausted and len(pending) < window:
+                    try:
+                        spec = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    pending.append(pool.submit(fn, spec, epoch))
+                if not pending:
+                    break
+                yield pending.popleft().result()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+    return gen()
+
+
 class EpochBatchIterator:
     """Epoch-aware, shardable, checkpointable batch iterator.
 
@@ -149,6 +244,8 @@ class EpochBatchIterator:
         buffer_size: int = 4,
         shuffle: bool = True,
         epoch: int = 1,
+        num_workers: int = 0,
+        worker_backend: str = "process",
     ):
         self.make_batches = make_batches
         self.collate = collate
@@ -156,6 +253,8 @@ class EpochBatchIterator:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.buffer_size = buffer_size
+        self.num_workers = num_workers
+        self.worker_backend = worker_backend
         self.shuffle = shuffle
         self.epoch = max(epoch, 1)
         self._cur_iterator: Optional[CountingIterator] = None
@@ -183,14 +282,25 @@ class EpochBatchIterator:
         self._iterations_consumed_on_load = 0
         epoch = self.epoch
 
-        def gen() -> Iterator[Any]:
-            for i, spec in enumerate(batches):
-                if i < skip:
-                    continue
-                yield self.collate(spec, epoch)
-
         total = len(batches)
-        inner: Iterable = gen()
+        if self.num_workers > 0:
+            inner: Iterable = parallel_collate_iter(
+                self.collate,
+                batches[skip:],
+                epoch,
+                num_workers=self.num_workers,
+                backend=self.worker_backend,
+                window=max(2 * self.num_workers, self.buffer_size),
+            )
+        else:
+
+            def gen() -> Iterator[Any]:
+                for i, spec in enumerate(batches):
+                    if i < skip:
+                        continue
+                    yield self.collate(spec, epoch)
+
+            inner = gen()
         if self.buffer_size > 0:
             inner = BufferedIterator(inner, self.buffer_size)
         self._cur_iterator = CountingIterator(inner, start=skip, total=total)

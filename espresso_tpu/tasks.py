@@ -144,13 +144,15 @@ class SpeechRecognitionEspressoTask:
 
         return EpochBatchIterator(
             make_batches,
-            lambda group, ep: dataset.collate_group(group, ep),
+            dataset.collate_group,
             seed=seed,
             num_shards=num_shards,
             shard_id=shard_id,
             buffer_size=dcfg.data_buffer_size,
             shuffle=shuffle,
             epoch=epoch,
+            num_workers=dcfg.num_workers,
+            worker_backend=dcfg.worker_backend,
         )
 
     # -- model --------------------------------------------------------------

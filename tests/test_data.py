@@ -222,3 +222,76 @@ def test_batch_by_size_native_matches_python():
         assert len(native) == len(ref), (trial, len(native), len(ref))
         for a, b in zip(native, ref):
             assert np.array_equal(a, b), trial
+
+
+def _batches_with_workers(root, num_workers, backend="thread", epoch_count=2):
+    """All batches of epoch 1..epoch_count through EpochBatchIterator."""
+    from espresso_tpu.data.encoders import CharactersAsr
+
+    entries = load_manifest(root, "train")
+    dic = AsrDictionary.load(os.path.join(root, "dict.txt"), enable_bos=True)
+    ds = AsrDataset(
+        entries,
+        dic,
+        feat_dim=13,
+        feature_type="fbank",
+        tokenizer=CharactersAsr(),
+        speed_perturb_rates=[0.9, 1.0, 1.1],
+        transforms_seed=7,
+        is_train=True,
+    )
+    specs_fn = lambda ep: ds.make_batch_specs(
+        max_tokens=None, max_sentences=3, num_buckets=2, shuffle=True,
+        seed=3, epoch=ep, required_batch_size_multiple=1,
+    )
+    itr = EpochBatchIterator(
+        lambda ep: [[s] for s in specs_fn(ep)],
+        ds.collate_group,
+        seed=3,
+        buffer_size=2,
+        num_workers=num_workers,
+        worker_backend=backend,
+    )
+    out = []
+    for _ in range(epoch_count):
+        for batch in itr.next_epoch_itr():
+            out.append(batch)
+    return out
+
+
+def test_parallel_workers_deterministic(tmp_path):
+    """Worker-parallel collate must produce byte-identical batches in
+    identical order vs the serial path, across epochs, including the
+    stochastic speed-perturb transform (per-(seed,epoch,index) RNG —
+    reference feat_text_dataset.py:151-153 determinism contract)."""
+    from tests.test_device_features import make_wave_corpus
+
+    root = str(tmp_path)
+    make_wave_corpus(root, "train", num_utts=10, seed=1)
+    serial = _batches_with_workers(root, 0)
+    assert len(serial) > 2
+    for backend in ("thread", "process"):
+        par = _batches_with_workers(root, 2, backend=backend)
+        assert len(par) == len(serial)
+        for a, b in zip(serial, par):
+            assert a["utt_ids"] == b["utt_ids"], backend
+            for k in ("src_frames", "src_lengths", "target",
+                      "prev_output_tokens", "weight"):
+                assert np.array_equal(a[k], b[k]), (backend, k)
+
+
+def test_parallel_workers_error_propagates(tmp_path):
+    """A collate exception in a worker must surface to the consumer."""
+    from espresso_tpu.data.iterators import parallel_collate_iter
+
+    def boom(spec, epoch):
+        if spec == 3:
+            raise RuntimeError("bad spec")
+        return spec * 10
+
+    it = parallel_collate_iter(boom, [1, 2, 3, 4], 1, num_workers=2,
+                               backend="thread")
+    got = [next(it), next(it)]
+    assert got == [10, 20]
+    with pytest.raises(RuntimeError, match="bad spec"):
+        list(it)
