@@ -225,7 +225,9 @@ class TransducerBeamSearchDecoder:
 
         def run(variables, lm_variables, src_frames, src_lengths):
             from espresso_tpu.ops.decode_kernels import (
+                lstm_feat,
                 lstm_step_reorder,
+                pack_lstm_state,
                 prep_lstm_kernel_inputs,
                 supports_lstm_step_reorder,
             )
@@ -408,6 +410,19 @@ class TransducerBeamSearchDecoder:
                 carry0,
                 method="pred_step",
             )
+            if use_pred_kernel:
+                # kernel-mode pred state is ONE packed 2-D matrix
+                # [BK, 2*L*H] (pack_lstm_state): a single canonical layout
+                # through the scan carry and the Pallas call (the 3-D
+                # [L, BK, H] h/c forced XLA layout copies at both
+                # boundaries), one row-gather per version at frame end,
+                # and the top-layer feature is a column slice (the model
+                # carry's ctx is width-0 and prev is unused by pred_step —
+                # models/transducer.py:109-113 — so neither is carried)
+                h0_, c0_, _ctx0, _prev0 = carry0
+                pred_L = h0_.shape[0]
+                carry0 = pack_lstm_state(h0_, c0_)
+                feat0 = lstm_feat(carry0, pred_L)
             if lm_adapter is not None:
                 # LM starts from eos; carry (state, next-token lprobs).
                 # Blank-less index shift (transducer_base_decoder.py:85-104):
@@ -433,49 +448,48 @@ class TransducerBeamSearchDecoder:
                         lm_variables, None, BK, lm_max_len
                     )
                     lg0, s0, _ = lm_adapter.step(lm_variables, eos_lm, s0)
-                if use_lm_kernel and lm_k["Hp"] != lm_k["H"]:
+                if use_lm_kernel:
                     # the kernel path carries gate-padded h/c (padded
-                    # channels provably stay 0 — prep_lstm_kernel_inputs)
+                    # channels provably stay 0 — prep_lstm_kernel_inputs),
+                    # packed into one 2-D matrix (see pred-net note above)
                     padw = lm_k["Hp"] - lm_k["H"]
-                    s0 = (
-                        jnp.pad(s0[0], ((0, 0), (0, 0), (0, padw))),
-                        jnp.pad(s0[1], ((0, 0), (0, 0), (0, padw))),
-                        s0[2],
-                        s0[3],
-                    )
+                    h_lm0 = jnp.pad(s0[0], ((0, 0), (0, 0), (0, padw)))
+                    c_lm0 = jnp.pad(s0[1], ((0, 0), (0, 0), (0, padw)))
+                    lm_L = h_lm0.shape[0]
+                    s0 = (pack_lstm_state(h_lm0, c_lm0), s0[2], s0[3])
                 lm_state0 = (
                     s0,
                     jax.nn.log_softmax(lg0.astype(jnp.float32), -1),
                 )
             else:
                 lm_state0 = None
-            hash0 = jnp.zeros((B, K), jnp.int32)  # rolling sequence hash
             # beam 0 live, others dead
             scores0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) * jnp.ones(
                 (B, 1)
             )
-            if A >= 1:
-                # prefix-merge state: emitted-label counts, a ring of the
-                # last A tokens (newest first), for depth >= 2 the last
-                # A-1 prediction features (feat_hist[m] = the feature used to
-                # score the token m emissions ago), and — under LM fusion —
-                # the matching ring of cached LM log-prob rows (the LM term
-                # + renormalization factor of depth >= 2 extension tokens,
-                # reference transducer_beam_search_decoder.py:565-594)
-                pm0 = (
-                    jnp.zeros((BK,), jnp.int32),
-                    jnp.zeros((BK, A), jnp.int32),
-                    jnp.zeros((A - 1, BK, feat0.shape[-1]), feat0.dtype)
-                    if A >= 2
-                    else None,
-                    jnp.zeros(
-                        (A - 1, BK, lm_state0[1].shape[-1]), jnp.float32
-                    )
-                    if A >= 2 and has_lm_bias
-                    else None,
+            # per-row int bookkeeping, PACKED into one s32 matrix so every
+            # expansion round runs ONE gather instead of one per field
+            # (the separate [BK] takes were pure launch overhead in the
+            # scan — ~24 ms/decode at B=256): column 0 = the rolling
+            # sequence hash; under prefix merge (A >= 1) columns 1.. are
+            # the emitted-label count and a ring of the last A tokens
+            # (newest first). For depth >= 2 the pm state also keeps the
+            # last A-1 prediction features (feat_hist[m] = the feature
+            # that scored the token m emissions ago) and — under LM
+            # fusion — the matching ring of cached LM log-prob rows
+            # (reference transducer_beam_search_decoder.py:565-594)
+            ints0 = jnp.zeros((BK, 1 + (1 + A if A >= 1 else 0)), jnp.int32)
+            pm0 = (
+                ints0,
+                jnp.zeros((A - 1, BK, feat0.shape[-1]), feat0.dtype)
+                if A >= 2
+                else None,
+                jnp.zeros(
+                    (A - 1, BK, lm_state0[1].shape[-1]), jnp.float32
                 )
-            else:
-                pm0 = None
+                if A >= 2 and has_lm_bias
+                else None,
+            )
 
             enc_proj = model.apply(
                 variables, enc.encoder_out, method="joint_enc_proj"
@@ -484,7 +498,6 @@ class TransducerBeamSearchDecoder:
             def frame_step(carry, t):
                 (
                     scores,
-                    hashes,
                     pred_feat,
                     pred_carry,
                     lm_state,
@@ -504,13 +517,15 @@ class TransducerBeamSearchDecoder:
                 # indices into the per-round expansion states; the real
                 # state materializes with ONE stacked gather at frame end.
                 pool_scores = jnp.full((B, K), NEG_INF)
-                pool_hash = hashes
+                pool_hash = pm_state[0][:, 0].reshape(B, K)
                 pool_ver = jnp.zeros((B, K), jnp.int32)
                 pool_slot = jnp.arange(K)[None, :].repeat(B, 0)
 
                 exp_scores = scores
-                exp_hash = hashes
+                exp_hash = pool_hash
                 exp_feat, exp_carry, exp_lm = pred_feat, pred_carry, lm_state
+                if use_pred_kernel:
+                    exp_feat = lstm_feat(exp_carry, pred_L)
                 exp_pm = pm_state
                 # version v state = expansion state after v label rounds;
                 # rows are [BK] b-major, exp slots map to rows identically
@@ -598,9 +613,9 @@ class TransducerBeamSearchDecoder:
                     # len_j - len_i <= A, add score_i + sum of the extension
                     # tokens' log-probs under THIS frame's joint into score_j
                     if j == 0 and A >= 1:
-                        sl, th, fh, lmh = exp_pm
-                        sl2 = sl.reshape(B, K)
-                        th3 = th.reshape(B, K, A)
+                        ints_pm, fh, lmh = exp_pm
+                        sl2 = ints_pm[:, 1].reshape(B, K)
+                        th3 = ints_pm[:, 2:].reshape(B, K, A)
                         live2 = exp_scores > NEG_INF / 2
 
                         if use_fused:
@@ -902,12 +917,33 @@ class TransducerBeamSearchDecoder:
                     new_tok = (keep_idx % V).astype(jnp.int32)
                     bp_esrc.append(src_beam.astype(jnp.int32))
                     bp_etok.append(new_tok)
+
                     flat_beam = (bidx * K + src_beam).reshape(-1)
-                    exp_hash = jnp.take(
-                        exp_hash.reshape(-1), flat_beam
-                    ).reshape(B, K)
-                    exp_hash = exp_hash * jnp.int32(31) + (new_tok + 1)
                     exp_scores = keep_scores
+                    live = (keep_scores > NEG_INF / 2).reshape(-1)
+                    # ONE gather updates every packed int field: the
+                    # rolling hash (col 0) and, under prefix merge, the
+                    # emitted-label count + token ring
+                    ints_e, fh_e, lmh_e = exp_pm
+                    ints_g = jnp.take(ints_e, flat_beam, axis=0)
+                    new_hash = ints_g[:, 0] * jnp.int32(31) + (
+                        new_tok.reshape(-1) + 1
+                    )
+                    cols = [new_hash[:, None]]
+                    if A >= 1:
+                        sl_e = jnp.where(live, ints_g[:, 1] + 1, ints_g[:, 1])
+                        th_old = ints_g[:, 2:]
+                        th_e = jnp.where(
+                            live[:, None],
+                            jnp.concatenate(
+                                [new_tok.reshape(-1, 1), th_old[:, :-1]],
+                                axis=1,
+                            ),
+                            th_old,
+                        )
+                        cols += [sl_e[:, None], th_e]
+                    ints_e = jnp.concatenate(cols, axis=1)
+                    exp_hash = new_hash.reshape(B, K)
 
                     def reorder(tree):
                         def g(x):
@@ -931,17 +967,14 @@ class TransducerBeamSearchDecoder:
                         exp_feat_r = exp_feat
                     if exp_lm is not None:
                         if use_lm_kernel:
-                            # the LM step kernel gathers h/c itself; only
-                            # the cached log-probs (the pm ring + next
-                            # round's bias read them pre-advance) and the
-                            # small leaves reorder here
-                            (h_lmS, c_lmS, fd_lmS, pv_lmS), cached_lmS = (
-                                exp_lm
-                            )
+                            # the LM step kernel gathers the packed state
+                            # itself; only the cached log-probs (the pm
+                            # ring + next round's bias read them
+                            # pre-advance) and the small leaves reorder
+                            (S_lmS, fd_lmS, pv_lmS), cached_lmS = exp_lm
                             exp_lm = (
                                 (
-                                    h_lmS,
-                                    c_lmS,
+                                    S_lmS,
                                     jnp.take(fd_lmS, flat_beam, axis=0),
                                     jnp.take(pv_lmS, flat_beam, axis=0),
                                 ),
@@ -949,46 +982,32 @@ class TransducerBeamSearchDecoder:
                             )
                         else:
                             exp_lm = reorder(exp_lm)
-                    if A >= 1:
-                        # prefix-merge rings: push the new token (and, for
-                        # depth >= 2, the pre-advance prediction feature +
-                        # the pre-advance cached LM log-probs under fusion)
-                        live_pm = (keep_scores > NEG_INF / 2).reshape(-1)
-                        sl_e, th_e, fh_e, lmh_e = exp_pm
-                        sl_e = jnp.take(sl_e, flat_beam)
-                        th_e = jnp.take(th_e, flat_beam, axis=0)
-                        sl_e = jnp.where(live_pm, sl_e + 1, sl_e)
-                        th_e = jnp.where(
-                            live_pm[:, None],
+                    # prefix-merge rings (depth >= 2): push the pre-advance
+                    # prediction feature + the pre-advance cached LM
+                    # log-probs under fusion
+                    if fh_e is not None:
+                        fh_g = jnp.take(fh_e, flat_beam, axis=1)
+                        fh_e = jnp.where(
+                            live[None, :, None],
                             jnp.concatenate(
-                                [new_tok.reshape(-1, 1), th_e[:, :-1]], axis=1
+                                [exp_feat_r[None], fh_g[:-1]], axis=0
                             ),
-                            th_e,
+                            fh_g,
                         )
-                        if fh_e is not None:
-                            fh_g = jnp.take(fh_e, flat_beam, axis=1)
-                            fh_e = jnp.where(
-                                live_pm[None, :, None],
-                                jnp.concatenate(
-                                    [exp_feat_r[None], fh_g[:-1]], axis=0
-                                ),
-                                fh_g,
-                            )
-                        if lmh_e is not None:
-                            # exp_lm was reordered by flat_beam above and
-                            # not yet advanced: its cached log-probs are
-                            # exactly the ones that scored new_tok
-                            lmh_g = jnp.take(lmh_e, flat_beam, axis=1)
-                            lmh_e = jnp.where(
-                                live_pm[None, :, None],
-                                jnp.concatenate(
-                                    [exp_lm[1][None], lmh_g[:-1]], axis=0
-                                ),
-                                lmh_g,
-                            )
-                        exp_pm = (sl_e, th_e, fh_e, lmh_e)
+                    if lmh_e is not None:
+                        # exp_lm was reordered by flat_beam above and
+                        # not yet advanced: its cached log-probs are
+                        # exactly the ones that scored new_tok
+                        lmh_g = jnp.take(lmh_e, flat_beam, axis=1)
+                        lmh_e = jnp.where(
+                            live[None, :, None],
+                            jnp.concatenate(
+                                [exp_lm[1][None], lmh_g[:-1]], axis=0
+                            ),
+                            lmh_g,
+                        )
+                    exp_pm = (ints_e, fh_e, lmh_e)
                     # advance prediction net with the new labels
-                    live = (keep_scores > NEG_INF / 2).reshape(-1)
 
                     def live_mask(new, old):
                         axis = 1 if new.ndim == 3 and new.shape[1] == BK else 0
@@ -1001,14 +1020,12 @@ class TransducerBeamSearchDecoder:
                         # one Pallas kernel: beam reorder + all LSTM layers
                         # + live mask (gathered state and [BK, 4H]
                         # preactivations never touch HBM)
-                        h_prev, c_prev, ctx_pn, prev_pn = exp_carry
                         x_emb = jnp.take(
                             pred_embed, new_tok.reshape(-1), axis=0
                         )
-                        h_out, c_out = lstm_step_reorder(
+                        exp_carry = lstm_step_reorder(
                             x_emb,
-                            h_prev,
-                            c_prev,
+                            exp_carry,
                             flat_beam,
                             live,
                             B=B,
@@ -1016,18 +1033,8 @@ class TransducerBeamSearchDecoder:
                             interpret=fused_interpret,
                             **pred_w,
                         )
-                        exp_carry = (
-                            h_out,
-                            c_out,
-                            jnp.take(ctx_pn, flat_beam, axis=0),
-                            jnp.where(
-                                live,
-                                new_tok.reshape(-1),
-                                jnp.take(prev_pn, flat_beam, axis=0),
-                            ),
-                        )
                         # pred-net invariant: exp_feat == top-layer hidden
-                        exp_feat = h_out[-1]
+                        exp_feat = lstm_feat(exp_carry, pred_L)
                     else:
                         new_feat, new_carry = model.apply(
                             variables,
@@ -1044,12 +1051,11 @@ class TransducerBeamSearchDecoder:
                     if exp_lm is not None and lm_adapter is not None:
                         lm_tok = jnp.maximum(new_tok.reshape(-1) - 1, 0)
                         if use_lm_kernel:
-                            (h_lm, c_lm, fd_r, pv_r), cached_r = exp_lm
+                            (S_lm, fd_r, pv_r), cached_r = exp_lm
                             x_lm = jnp.take(lm_k["embed"], lm_tok, axis=0)
-                            h_o, c_o = lstm_step_reorder(
+                            S_lm_o = lstm_step_reorder(
                                 x_lm,
-                                h_lm,
-                                c_lm,
+                                S_lm,
                                 flat_beam,
                                 live,
                                 lm_k["w_ih"],
@@ -1060,15 +1066,14 @@ class TransducerBeamSearchDecoder:
                                 interpret=fused_interpret,
                             )
                             lg = lm_logits_from_hidden(
-                                h_o[-1][:, : lm_k["H"]]
+                                lstm_feat(S_lm_o, lm_L)[:, : lm_k["H"]]
                             )
                             lp_new = jax.nn.log_softmax(
                                 lg.astype(jnp.float32), -1
                             )
                             exp_lm = (
                                 (
-                                    h_o,
-                                    c_o,
+                                    S_lm_o,
                                     fd_r,
                                     jnp.where(live, lm_tok, pv_r),
                                 ),
@@ -1127,9 +1132,12 @@ class TransducerBeamSearchDecoder:
 
                     return jax.tree_util.tree_map(g, old, *leaves)
 
-                pred_feat = gather_versions(
-                    pred_feat, [v[0] for v in versions]
-                )
+                if not use_pred_kernel:
+                    # kernel mode: the feature IS a slice of the packed
+                    # state — no separate version gather
+                    pred_feat = gather_versions(
+                        pred_feat, [v[0] for v in versions]
+                    )
                 pred_carry = gather_versions(
                     pred_carry, [v[1] for v in versions]
                 )
@@ -1137,13 +1145,11 @@ class TransducerBeamSearchDecoder:
                     lm_state = gather_versions(
                         lm_state, [v[2] for v in versions]
                     )
-                if A >= 1:
-                    pm_state = gather_versions(
-                        pm_state, [v[3] for v in versions]
-                    )
+                pm_state = gather_versions(
+                    pm_state, [v[3] for v in versions]
+                )
 
                 scores = jnp.where(keep_old[:, None], scores, pool_scores)
-                hashes = jnp.where(keep_old[:, None], hashes, pool_hash)
                 ys = (
                     jnp.stack(bp_fp),  # [n_exp+1, B, K] bool
                     jnp.stack(bp_msrc).astype(jnp.int32),
@@ -1156,16 +1162,20 @@ class TransducerBeamSearchDecoder:
                 )
                 return (
                     scores,
-                    hashes,
                     pred_feat,
                     pred_carry,
                     lm_state,
                     pm_state,
                 ), ys
 
-            init = (scores0, hash0, feat0, carry0, lm_state0, pm0)
+            if use_pred_kernel:
+                # the feature is a column slice of the packed state — no
+                # separate carry slot (zero-width placeholder keeps the
+                # carry structure shared with the jnp path)
+                feat0 = jnp.zeros((BK, 0), pdtype)
+            init = (scores0, feat0, carry0, lm_state0, pm0)
             T_enc = enc.encoder_out.shape[1]
-            (scores, _, _, _, _, _), ys = jax.lax.scan(
+            (scores, _, _, _, _), ys = jax.lax.scan(
                 frame_step, init, jnp.arange(T_enc)
             )
 

@@ -392,8 +392,12 @@ def aes_backtrace(
 
 def _lstm_step_vmem_bytes(rows: int, H: int, L: int) -> int:
     weights = 2 * L * H * 4 * H * 2  # w_ih + w_hh, ALL layers resident, bf16
-    io = rows * H * (2 + 4 * L * 2)  # x + h/c in/out blocks
-    live = rows * H * (4 + 4 + 16 + 2)  # hg/cg f32, pre f32, xc bf16
+    io = rows * H * (2 + 4 * L * 2)  # x + packed-S in/out blocks (bf16)
+    live = rows * H * (
+        4 * 2 * L  # gathered S (f32)
+        + 16  # pre f32 [rows, 4H]
+        + 4 + 2  # gates + xc
+    )
     return weights + io + live + rows * rows * 2
 
 
@@ -446,10 +450,39 @@ def supports_lstm_step_reorder(
     return E == H and _pick_lstm_bb(B, K, H, L) is not None
 
 
+def pack_lstm_state(h: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """[L, BK, H] h/c -> packed [BK, 2LH] column blocks [h_0..h_{L-1} |
+    c_0..c_{L-1}]. 2-D packed state has one canonical layout everywhere
+    (the 3-D [L, BK, H] carries forced ~30 µs layout copies per kernel
+    call and per scan iteration at B=256 — measured 28 ms/decode)."""
+    L, BK, H = h.shape
+    return jnp.concatenate(
+        [
+            jnp.moveaxis(h, 0, 1).reshape(BK, L * H),
+            jnp.moveaxis(c, 0, 1).reshape(BK, L * H),
+        ],
+        axis=1,
+    )
+
+
+def unpack_lstm_state(S: jnp.ndarray, L: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of :func:`pack_lstm_state`."""
+    BK, C = S.shape
+    H = C // (2 * L)
+    h = jnp.moveaxis(S[:, : L * H].reshape(BK, L, H), 1, 0)
+    c = jnp.moveaxis(S[:, L * H :].reshape(BK, L, H), 1, 0)
+    return h, c
+
+
+def lstm_feat(S: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Top-layer hidden slice of the packed state (the pred-net feature)."""
+    H = S.shape[1] // (2 * L)
+    return jax.lax.slice_in_dim(S, (L - 1) * H, L * H, axis=1)
+
+
 def lstm_step_reorder(
     x: jnp.ndarray,  # [BK, H] embedded input tokens (dest-row order)
-    h: jnp.ndarray,  # [L, BK, H] hidden carry
-    c: jnp.ndarray,  # [L, BK, H] cell carry
+    S: jnp.ndarray,  # [BK, 2LH] packed state (pack_lstm_state)
     src: jnp.ndarray,  # [BK] int32 global source-row index (same utterance)
     live: jnp.ndarray,  # [BK] bool — rows that advance; dead rows keep the
     #                     gathered (reordered) state
@@ -460,10 +493,11 @@ def lstm_step_reorder(
     K: int,
     interpret: bool = False,
     bb: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> jnp.ndarray:
     """Fused beam-reorder + multi-layer LSTM decode step.
 
-    Computes, per destination row r with source row s = src[r]:
+    Computes, per destination row r with source row s = src[r], over the
+    packed state S = [h_0..h_{L-1} | c_0..c_{L-1}] (pack_lstm_state):
 
         h_g, c_g = h[:, s], c[:, s]                 (the beam reorder)
         x_0 = x[r]
@@ -480,7 +514,10 @@ def lstm_step_reorder(
     utterance block); the gathered carries and the [BK, 4H] preactivations
     never touch HBM — the XLA path moved ~60 MB of intermediate state per
     expansion round through HBM and paid ~15 ops of sequential launch
-    latency inside the scan.
+    latency inside the scan. The 2-D packed state keeps the carry in the
+    canonical {1,0} layout end to end: the [L, BK, H] interface forced XLA
+    to insert layout copies (≈28 ms/decode at the flagship point) at the
+    kernel and while-loop boundaries.
 
     Grid: (B/bb utterance blocks,) with the FULL weight stack resident in
     VMEM — the index maps for the weights are constant, so Pallas DMAs
@@ -488,15 +525,17 @@ def lstm_step_reorder(
     ~8 MB of weights per batch block and was DMA-bound, no faster than
     XLA). Gate order (i, f, g, o) matches modules/lstm.lstm_gates.
 
-    Returns (h_out, c_out), both [L, BK, H] in the carry dtype; the caller
-    reads the top-layer features as h_out[-1] (the pred-net invariant
-    exp_feat == h[-1] — see transducer_beam).
+    Returns the advanced packed state [BK, 2LH] in the carry dtype; the
+    caller reads the top-layer features as lstm_feat(S, L) (the pred-net
+    invariant exp_feat == h[-1] — see transducer_beam).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    L, BK, H = h.shape
-    assert BK == B * K and x.shape == (BK, H)
+    L = w_ih.shape[0]
+    BK, C = S.shape
+    H = C // (2 * L)
+    assert BK == B * K and x.shape == (BK, H) and C == 2 * L * H
     assert w_ih.shape == (L, H, 4 * H) and w_hh.shape == (L, H, 4 * H)
     if bb is None:
         bb = _pick_lstm_bb(B, K, H, L)
@@ -512,22 +551,22 @@ def lstm_step_reorder(
     f32 = jnp.float32
     bf16 = jnp.bfloat16
 
-    def kernel(x_ref, srcl_ref, live_ref, h_ref, c_ref, wih_ref, bih_ref,
-               whh_ref, ho_ref, co_ref):
+    def kernel(x_ref, srcl_ref, live_ref, s_ref, wih_ref, bih_ref,
+               whh_ref, so_ref):
         dn = (((1,), (0,)), ((), ()))
         # beam reorder as a one-hot matmul — exact in bf16 (every output
-        # row copies exactly one input row), full-rate MXU
+        # row copies exactly one input row), full-rate MXU; ONE matmul
+        # gathers every layer's h and c at once
         cols = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
         P = (cols == srcl_ref[:]).astype(bf16)
         alive = live_ref[:] > 0  # [rows, 1]
+        Sg = jax.lax.dot_general(
+            P, s_ref[:].astype(bf16), dn, preferred_element_type=f32
+        )
         xc = x_ref[:].astype(bf16)
         for l in range(L):
-            hg = jax.lax.dot_general(
-                P, h_ref[l].astype(bf16), dn, preferred_element_type=f32
-            )
-            cg = jax.lax.dot_general(
-                P, c_ref[l].astype(bf16), dn, preferred_element_type=f32
-            )
+            hg = Sg[:, l * H : (l + 1) * H]
+            cg = Sg[:, (L + l) * H : (L + l + 1) * H]
             # bf16 operands + f32 accumulation: full-rate MXU, at least
             # the precision of the jnp path (whose bf16 dots round)
             pre = (
@@ -560,8 +599,12 @@ def lstm_step_reorder(
             cgb = cg.astype(bf16)
             c_new = f_g * cgb + i_g * g_g
             h_new = o_g * _tanh(c_new)
-            ho_ref[l] = jnp.where(alive, h_new, hgb).astype(ho_ref.dtype)
-            co_ref[l] = jnp.where(alive, c_new, cgb).astype(co_ref.dtype)
+            so_ref[:, l * H : (l + 1) * H] = jnp.where(
+                alive, h_new, hgb
+            ).astype(so_ref.dtype)
+            so_ref[:, (L + l) * H : (L + l + 1) * H] = jnp.where(
+                alive, c_new, cgb
+            ).astype(so_ref.dtype)
             # next layer's input is the RAW new hidden (the jnp path masks
             # outputs only — dead rows still feed their computed hidden up)
             xc = h_new.astype(bf16)
@@ -578,31 +621,21 @@ def lstm_step_reorder(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, 1), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, rows, H), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, rows, H), lambda b: (0, b, 0),
+            pl.BlockSpec((rows, C), lambda b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, H, 4 * H), full_w, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 1, 4 * H), full_w, memory_space=pltpu.VMEM),
             pl.BlockSpec((L, H, 4 * H), full_w, memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((L, rows, H), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, rows, H), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, BK, H), h.dtype),
-            jax.ShapeDtypeStruct((L, BK, H), c.dtype),
-        ),
+        out_specs=pl.BlockSpec((rows, C), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BK, C), S.dtype),
         interpret=interpret,
     )(
         x,
         src_local,
         live_i,
-        h,
-        c,
+        S,
         w_ih,
         b_ih.reshape(L, 1, 4 * H),
         w_hh,

@@ -392,9 +392,20 @@ def test_lstm_step_reorder_matches_jnp():
     ref_h = jnp.where(live[None, :, None], jnp.stack(hs), hg)
     ref_c = jnp.where(live[None, :, None], jnp.stack(cs), cg)
 
-    got_h, got_c = lstm_step_reorder(
-        x, h, c, src, live, w_ih, b_ih, w_hh, B=Bq, K=Kq, interpret=True
+    from espresso_tpu.ops.decode_kernels import (
+        pack_lstm_state,
+        unpack_lstm_state,
     )
+
+    S = pack_lstm_state(h, c)
+    # pack/unpack roundtrip
+    h_rt, c_rt = unpack_lstm_state(S, Lq)
+    np.testing.assert_array_equal(np.asarray(h_rt), np.asarray(h))
+    np.testing.assert_array_equal(np.asarray(c_rt), np.asarray(c))
+    S_out = lstm_step_reorder(
+        x, S, src, live, w_ih, b_ih, w_hh, B=Bq, K=Kq, interpret=True
+    )
+    got_h, got_c = unpack_lstm_state(S_out, Lq)
     # the kernel's dots run bf16-operand/f32-accumulate (full-rate MXU), so
     # f32 inputs agree with the f32 reference to bf16 operand rounding
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h),
@@ -437,9 +448,16 @@ def test_lstm_step_reorder_bf16_state():
     ref_h = jnp.where(live[None, :, None], jnp.stack(hs), hg)
     ref_c = jnp.where(live[None, :, None], jnp.stack(cs), cg)
 
-    got_h, got_c = lstm_step_reorder(
-        x, h, c, src, live, w_ih, b_ih, w_hh, B=Bq, K=Kq, interpret=True
+    from espresso_tpu.ops.decode_kernels import (
+        pack_lstm_state,
+        unpack_lstm_state,
     )
+
+    S_out = lstm_step_reorder(
+        x, pack_lstm_state(h, c), src, live, w_ih, b_ih, w_hh,
+        B=Bq, K=Kq, interpret=True
+    )
+    got_h, got_c = unpack_lstm_state(S_out, Lq)
     assert got_h.dtype == jnp.bfloat16 and got_c.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(got_h, np.float32), np.asarray(ref_h), rtol=2e-2, atol=2e-2
