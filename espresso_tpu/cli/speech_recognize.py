@@ -64,10 +64,23 @@ def load_model_for_decoding(cfg: EspressoConfig, task):
         cfg.checkpoint.save_dir, cfg.checkpoint.restore_file
     )
     if os.path.exists(path):
-        abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+        # raw restore: decode needs only params/batch_stats, and converted
+        # checkpoints (cli/convert_espresso_checkpoint) carry an empty
+        # opt_state a full-TrainState abstract restore would reject
+        from espresso_tpu.train.checkpoint import load_raw_checkpoint
+
+        raw = load_raw_checkpoint(path)
+        ref_ts = jax.tree_util.tree_structure(state.params)
+        got_ts = jax.tree_util.tree_structure(raw["params"])
+        if ref_ts != got_ts:
+            raise ValueError(
+                f"checkpoint params tree does not match the model config:"
+                f"\ncheckpoint={got_ts}\nmodel={ref_ts}"
+            )
+        state = state.replace(
+            params=raw["params"],
+            batch_stats=raw.get("batch_stats") or {},
         )
-        state, _ = load_checkpoint_state(path, abstract)
         logger.info("loaded checkpoint %s", path)
     else:
         logger.warning("no checkpoint at %s — decoding with random init", path)

@@ -211,6 +211,9 @@ class GenerationConfig:
     max_num_expansions_per_step: int = 2
     prefix_alpha: Optional[int] = None
     model_predicts_eos: bool = False
+    # output-length cap as a fraction of input frames (transducer decoders;
+    # the reference caps via max-len-a/b — this is the T-relative form)
+    max_out_factor: float = 0.35
     # fairseq sequence_generator extras
     no_repeat_ngram_size: int = 0
     sampling: bool = False

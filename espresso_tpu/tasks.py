@@ -244,6 +244,7 @@ class SpeechRecognitionEspressoTask:
                     self.dictionary,
                     max_num_expansions_per_step=gen_cfg.max_num_expansions_per_step,
                     model_predicts_eos=gen_cfg.model_predicts_eos,
+                    max_out_factor=gen_cfg.max_out_factor,
                 )
             from espresso_tpu.decode.transducer_beam import (
                 TransducerBeamSearchDecoder,
@@ -260,6 +261,7 @@ class SpeechRecognitionEspressoTask:
                 lm_weight=lm_weight,
                 model_predicts_eos=gen_cfg.model_predicts_eos,
                 prefix_alpha=gen_cfg.prefix_alpha,
+                max_out_factor=gen_cfg.max_out_factor,
             )
         if crit == "ctc_loss":
             if gen_cfg.beam > 1:
