@@ -14,6 +14,7 @@ RTFx = audio_seconds_decoded / wall_seconds; target >= 500x per chip
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -46,8 +47,8 @@ def main():
             encoder_layers=16,
             encoder_heads=8,
             depthwise_conv_kernel_size=31,
-            conv_norm_type="layer",
-            conformer_norm_type="layer",
+            conv_norm_type=os.environ.get("ESPRESSO_BENCH_NORM", "batch"),
+            conformer_norm_type=os.environ.get("ESPRESSO_BENCH_NORM", "batch"),
             dropout=0.0,
         ),
         pred_embed_dim=512,

@@ -18,6 +18,7 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -89,8 +90,11 @@ def main():
             encoder_layers=LAYERS,
             encoder_heads=HEADS,
             depthwise_conv_kernel_size=31,
-            conv_norm_type="layer",
-            conformer_norm_type="layer",
+            # batch norm is the reference's conformer/frontend norm AND the
+            # faster one on TPU: 65.8 ms/step vs 84.0 layer-norm, same-session
+            # A/B round 4 (frontend LN at full T x F is bandwidth-bound)
+            conv_norm_type=os.environ.get("ESPRESSO_BENCH_NORM", "batch"),
+            conformer_norm_type=os.environ.get("ESPRESSO_BENCH_NORM", "batch"),
             dropout=0.1,
         ),
         pred_embed_dim=D,
