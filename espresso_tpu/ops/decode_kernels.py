@@ -34,6 +34,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from espresso_tpu.ops.backend import backend_is_tpu
+
 NEG_INF = -1.0e9
 
 
@@ -83,7 +85,7 @@ def supports_fused_joint_topk(
         and V % 128 == 0
         and J % 128 == 0
         and H % 128 == 0
-        and jax.default_backend() in ("tpu", "axon")
+        and backend_is_tpu()
     )
 
 
@@ -445,7 +447,7 @@ def supports_lstm_step_reorder(
         if dtype is not None and jnp.dtype(dtype) != jnp.bfloat16:
             if os.environ.get("ESPRESSO_LSTM_KERNEL_F32", "0") != "1":
                 return False
-        if H % 128 != 0 or jax.default_backend() not in ("tpu", "axon"):
+        if H % 128 != 0 or not backend_is_tpu():
             return False
     return E == H and _pick_lstm_bb(B, K, H, L) is not None
 

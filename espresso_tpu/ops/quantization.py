@@ -21,6 +21,8 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from espresso_tpu.ops.backend import backend_is_tpu
 import numpy as np
 
 # ---------------------------------------------------------------------------
@@ -156,7 +158,7 @@ def int8_matmul(
 
     if (
         not interpret
-        and (jax.default_backend() not in ("tpu", "axon") or M % 8 != 0 or K % 128 != 0 or N % 128 != 0)
+        and (not backend_is_tpu() or M % 8 != 0 or K % 128 != 0 or N % 128 != 0)
     ):
         return (
             jnp.dot(

@@ -32,6 +32,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from espresso_tpu.ops.backend import backend_is_tpu
+
 NEG_INF = -1.0e30
 _T_TILE = 128  # frames per grid step (lane dim of the kernel outputs)
 _FPB = 4  # frames batched per inner matmul (rows = _FPB * U1p)
@@ -59,7 +61,7 @@ def supports_rnnt_pallas(U1: int, J: int, V: int) -> bool:
         V % 128 == 0
         and J % 128 == 0
         and _vmem_bytes(U1p, J, V) <= _VMEM_BUDGET
-        and jax.default_backend() in ("tpu", "axon")
+        and backend_is_tpu()
     )
 
 
