@@ -16,6 +16,7 @@ sequence_generator.py:357-374, becomes jnp.take).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -224,7 +225,57 @@ class MultiheadAttention(nn.Module):
 
         scale = self.head_dim ** -0.5
         if self.use_relative_pos and rel_pos is not None:
-            p = self.pos_proj(rel_pos).reshape(-1, self.num_heads, self.head_dim)
+            p_flat = self.pos_proj(rel_pos)  # [2L-1, D]
+            Tq_, Tk_ = q.shape[1], k.shape[1]
+            L_ = (p_flat.shape[0] + 1) // 2
+            # opt-in until an on-chip parity+perf A/B lands (AOT compile
+            # of the kernel at the flagship shape passes; see
+            # tools/aot_check.py check_attention/check_encoder_fused)
+            fused_mode = os.environ.get("ESPRESSO_FUSED_ATTN", "off")
+            if (
+                fused_mode != "off"
+                and deterministic
+                and not need_weights
+                and attn_mask is None
+                and cache is None
+                and key is query
+                and Tq_ == Tk_ == L_
+            ):
+                from espresso_tpu.ops.attention_kernels import (
+                    rel_attention,
+                    supports_rel_attention,
+                )
+
+                if supports_rel_attention(
+                    q.shape[0],
+                    Tq_,
+                    self.num_heads,
+                    self.head_dim,
+                    require_tpu=(fused_mode != "interpret"),
+                ):
+                    # fused Pallas path: scores + rel-shift + softmax + PV
+                    # never leave VMEM (ops/attention_kernels.py)
+                    B_, T_ = q.shape[0], Tq_
+                    D_ = self.embed_dim
+                    qf = q.reshape(B_, T_, D_)
+                    kv_mask = (
+                        key_padding_mask
+                        if key_padding_mask is not None
+                        else jnp.ones((B_, T_), bool)
+                    )
+                    ctx = rel_attention(
+                        qf + self.pos_bias_u.reshape(D_),
+                        qf + self.pos_bias_v.reshape(D_),
+                        k.reshape(B_, T_, D_),
+                        v.reshape(B_, T_, D_),
+                        p_flat,
+                        kv_mask,
+                        self.num_heads,
+                        scale,
+                        fused_mode == "interpret",
+                    )
+                    return self.out_proj(ctx), None, new_cache
+            p = p_flat.reshape(-1, self.num_heads, self.head_dim)
             q_u = q + self.pos_bias_u[None, None]
             q_v = q + self.pos_bias_v[None, None]
             ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k)

@@ -1,0 +1,173 @@
+"""Parity tests for the fused rel-pos attention kernel (interpret mode).
+
+The Pallas kernel (ops/attention_kernels.py) must match the jnp path of
+modules/attention.py — same bf16 rounding points, same masking semantics —
+for arbitrary T (the bit-decomposed roll shift must work off tile
+boundaries), ragged valid lengths, and through the module-level dispatch.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from espresso_tpu.modules.attention import MultiheadAttention
+from espresso_tpu.ops.attention_kernels import (
+    rel_attention,
+    rel_attention_fused,
+    rel_attention_reference,
+    supports_rel_attention,
+)
+
+
+def _make_inputs(B, T, H, d, dtype=jnp.bfloat16, seed=0):
+    rng = np.random.default_rng(seed)
+    D = H * d
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    q_u = mk(B, T, D).astype(dtype)
+    q_v = mk(B, T, D).astype(dtype)
+    k = mk(B, T, D).astype(dtype)
+    v = mk(B, T, D).astype(dtype)
+    p = mk(2 * T - 1, D).astype(dtype)
+    lens = rng.integers(1, T + 1, size=B)
+    lens[0] = T  # keep one full row
+    key_valid = jnp.asarray(np.arange(T)[None, :] < lens[:, None])
+    return q_u, q_v, k, v, p, key_valid
+
+
+@pytest.mark.parametrize("T", [8, 23, 156])
+def test_fused_matches_reference(T):
+    B, H, d = 4, 4, 64
+    q_u, q_v, k, v, p, key_valid = _make_inputs(B, T, H, d)
+    scale = d ** -0.5
+    out = rel_attention_fused(
+        q_u, q_v, k, v, p, key_valid, H, scale, interpret=True
+    )
+    split = lambda x: x.reshape(B, T, H, d)
+    ref = rel_attention_reference(
+        split(q_u), split(q_v), split(k), split(v),
+        p.reshape(-1, H, d), key_valid, scale,
+    ).reshape(B, T, H * d)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        rtol=2e-2,
+        atol=2e-2,
+    )
+    # masked rows must carry real probability mass — compare one full row
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_padded_keys_do_not_leak():
+    """Values in masked key positions must not affect the output."""
+    B, T, H, d = 2, 19, 2, 64
+    q_u, q_v, k, v, p, key_valid = _make_inputs(B, T, H, d, seed=1)
+    lens = np.array([7, 13])
+    key_valid = jnp.asarray(np.arange(T)[None, :] < lens[:, None])
+    scale = d ** -0.5
+    out1 = rel_attention_fused(
+        q_u, q_v, k, v, p, key_valid, H, scale, interpret=True
+    )
+    # clobber the padded positions of k/v
+    mask = np.asarray(key_valid)[..., None]
+    k2 = jnp.where(jnp.asarray(mask), k, 37.0)
+    v2 = jnp.where(jnp.asarray(mask), v, -41.0)
+    out2 = rel_attention_fused(
+        q_u, q_v, k2, v2, p, key_valid, H, scale, interpret=True
+    )
+    valid_q = np.asarray(key_valid)  # compare only real query rows
+    np.testing.assert_array_equal(
+        np.asarray(out1, np.float32)[valid_q],
+        np.asarray(out2, np.float32)[valid_q],
+    )
+
+
+def test_module_dispatch_parity():
+    """MultiheadAttention with ESPRESSO_FUSED_ATTN=interpret must match the
+    jnp path (ESPRESSO_FUSED_ATTN=off) bit-for-bit-ish through the module."""
+    B, T, H, D = 4, 37, 4, 256
+    mod = MultiheadAttention(D, H, use_relative_pos=True)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    rel = jnp.asarray(
+        rng.standard_normal((2 * T - 1, D)).astype(np.float32)
+    )
+    lens = rng.integers(1, T + 1, size=B)
+    mask = jnp.asarray(np.arange(T)[None, :] < lens[:, None])
+    variables = mod.init(
+        jax.random.PRNGKey(0), x, x, x, key_padding_mask=mask, rel_pos=rel
+    )
+    bf = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32
+        else a,
+        t,
+    )
+    variables, xb, relb = bf(variables), x.astype(jnp.bfloat16), rel.astype(
+        jnp.bfloat16
+    )
+
+    def run():
+        out, _, _ = mod.apply(
+            variables, xb, xb, xb, key_padding_mask=mask, rel_pos=relb
+        )
+        return np.asarray(out, np.float32)
+
+    old = os.environ.get("ESPRESSO_FUSED_ATTN")
+    try:
+        os.environ["ESPRESSO_FUSED_ATTN"] = "off"
+        ref = run()
+        os.environ["ESPRESSO_FUSED_ATTN"] = "interpret"
+        fused = run()
+    finally:
+        if old is None:
+            os.environ.pop("ESPRESSO_FUSED_ATTN", None)
+        else:
+            os.environ["ESPRESSO_FUSED_ATTN"] = old
+    valid_q = np.asarray(mask)
+    np.testing.assert_allclose(
+        fused[valid_q], ref[valid_q], rtol=2e-2, atol=2e-2
+    )
+
+
+def test_backward_matches_reference_vjp():
+    """The custom_vjp backward recomputes the jnp reference, so the fused
+    call's VJP at a fixed cotangent must equal the reference's VJP exactly
+    (the forward values may differ by bf16 rounding; the pullback may not)."""
+    B, T, H, d = 2, 11, 2, 64
+    q_u, q_v, k, v, p, key_valid = _make_inputs(
+        B, T, H, d, dtype=jnp.float32, seed=4
+    )
+    scale = d ** -0.5
+    from espresso_tpu.ops.attention_kernels import _ref_flat
+
+    _, vjp_fused = jax.vjp(
+        lambda *a: rel_attention(*a, key_valid, H, scale, True),
+        q_u, q_v, k, v, p,
+    )
+    _, vjp_ref = jax.vjp(
+        lambda *a: _ref_flat(*a, key_valid, H, scale), q_u, q_v, k, v, p
+    )
+    g = jnp.asarray(
+        np.random.default_rng(5).standard_normal((B, T, H * d)).astype(
+            np.float32
+        )
+    )
+    for a, b in zip(vjp_fused(g), vjp_ref(g)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32),
+            np.asarray(b, np.float32),
+            rtol=1e-6,
+            atol=1e-6,
+        )
+
+
+def test_support_gate():
+    assert not supports_rel_attention(4, 16, 4, 48, require_tpu=False)
+    assert not supports_rel_attention(4, 16, 3, 64, require_tpu=False)
+    assert supports_rel_attention(4, 156, 8, 64, require_tpu=False)
+    # VMEM blowup: giant T falls back
+    assert not supports_rel_attention(1, 20000, 8, 64, require_tpu=False)
