@@ -30,7 +30,7 @@ def main():
 
     VOCAB = 1024  # BPE-size vocab (reference librispeech recipe)
     FEAT_DIM = 80
-    B = 256  # throughput-oriented batch decode
+    B = int(os.environ.get("ESPRESSO_BENCH_B", "256"))  # serving batch
     T = 624  # 6.24 s per utterance at 10 ms frames
     FRAME_SHIFT_S = 0.01
 
@@ -74,13 +74,6 @@ def main():
         variables,
     )
     frames = frames.astype(jnp.bfloat16)
-
-    class _Dict:
-        def blank(self):
-            return 0
-
-        def eos(self):
-            return 2
 
     from espresso_tpu.decode.transducer_beam import TransducerBeamSearchDecoder
 

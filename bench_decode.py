@@ -13,17 +13,83 @@ table is honest about how decode behaves in production:
             transducer_greedy_decoder.py operating point).
   beam    — same as bench.py (for side-by-side runs).
 
-Usage: python bench_decode.py [beam_lm|greedy|beam]   (default beam_lm)
+Each point also has an emission-realistic variant (``greedy_real``,
+``beam_real``, ``beam_lm_real``): a random-init model's emission profile is
+arbitrary, which distorts scan-bound decode vs production, so these
+calibrate the joint's blank-logit bias until the point's OWN decoder emits
+~26 labels per 6.24 s utterance (LibriSpeech test-other averages ~18 words
+~= 26 BPE-1024 tokens) and report the measured emission rate alongside
+RTFx. Calibration is per-decoder because a greedy-calibrated bias collapses
+under beam search (total-probability search on a random model prefers
+near-empty hypotheses).
+
+Usage: python bench_decode.py [beam_lm|greedy|beam][_real]  (default beam_lm)
 Prints ONE JSON line per run.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+TARGET_EMISSIONS = 26.0  # per 6.24 s utterance (see module docstring)
+
+
+def _with_blank_delta(variables, delta):
+    """Return variables with ``delta`` added to the joint fc_out blank bias
+    (blank index 0 — bench dictionaries put blank at 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    flat = jax.tree_util.tree_map(lambda x: x, variables)  # shallow-ish copy
+    bias = flat["params"]["joint"]["fc_out"]["bias"]
+    flat["params"] = dict(flat["params"])
+    flat["params"]["joint"] = dict(flat["params"]["joint"])
+    flat["params"]["joint"]["fc_out"] = dict(flat["params"]["joint"]["fc_out"])
+    flat["params"]["joint"]["fc_out"]["bias"] = bias.at[0].add(
+        jnp.asarray(delta, bias.dtype)
+    )
+    return flat
+
+
+def calibrate_blank_bias(decoder, variables, batch, target):
+    """Bisect a blank-bias delta until ``decoder`` emits ~``target`` labels
+    per utterance (1-best) on ``batch``. Calibrating on the bench decoder
+    itself matters: a greedy-calibrated bias collapses under beam search
+    (total-probability search on a random model prefers near-empty
+    hypotheses), so each point calibrates its own search. Emissions are
+    monotonically decreasing in the blank bias, so plain bisection
+    converges; batch shapes are fixed across iterations (one compile)."""
+
+    def emissions(delta):
+        out = decoder.decode(_with_blank_delta(variables, delta), batch)
+        return float(np.mean([len(h[0]["tokens"]) for h in out]))
+
+    lo, hi = -20.0, 20.0  # lo: emit-everything, hi: all-blank
+    e_lo, e_hi = emissions(lo), emissions(hi)
+    if not (e_lo >= target >= e_hi):
+        print(
+            f"calibration range too narrow: emissions({lo})={e_lo}, "
+            f"emissions({hi})={e_hi}",
+            file=sys.stderr,
+        )
+    best = (lo, e_lo)
+    for _ in range(12):
+        mid = 0.5 * (lo + hi)
+        e = emissions(mid)
+        if abs(e - target) < abs(best[1] - target):
+            best = (mid, e)
+        if abs(e - target) <= 1.0:
+            return mid, e
+        if e > target:
+            lo = mid
+        else:
+            hi = mid
+    return best
 
 
 def main():
@@ -35,6 +101,9 @@ def main():
     from espresso_tpu.models.transducer import TransducerConfig, TransducerModel
 
     point = sys.argv[1] if len(sys.argv) > 1 else "beam_lm"
+    realistic = point.endswith("_real")
+    if realistic:
+        point = point[: -len("_real")]
     VOCAB = 1024
     FEAT_DIM = 80
     B = 256
@@ -54,8 +123,8 @@ def main():
             encoder_layers=16,
             encoder_heads=8,
             depthwise_conv_kernel_size=31,
-            conv_norm_type="layer",
-            conformer_norm_type="layer",
+            conv_norm_type=os.environ.get("ESPRESSO_BENCH_NORM", "batch"),
+            conformer_norm_type=os.environ.get("ESPRESSO_BENCH_NORM", "batch"),
             dropout=0.0,
         ),
         pred_embed_dim=512,
@@ -142,6 +211,17 @@ def main():
             lm_variables=lm_vars,
         )
 
+    extras = {}
+    if realistic:
+        delta, epu = calibrate_blank_bias(
+            decoder, variables, batch, TARGET_EMISSIONS
+        )
+        variables = _with_blank_delta(variables, delta)
+        extras = {
+            "blank_bias_delta": round(delta, 3),
+            "calibrated_emissions_per_utt": round(epu, 1),
+        }
+
     decoder.decode(variables, batch)  # warmup / compile
 
     # sustained throughput (matches bench.py): back-to-back launches, host
@@ -150,12 +230,16 @@ def main():
     t0 = time.perf_counter()
     if hasattr(decoder, "decode_async"):
         handles = [decoder.decode_async(variables, batch) for _ in range(iters)]
-        for h in handles:
-            decoder.collect(h)
+        outs = [decoder.collect(h) for h in handles]
     else:
-        for _ in range(iters):
-            decoder.decode(variables, batch)
+        outs = [decoder.decode(variables, batch) for _ in range(iters)]
     wall = time.perf_counter() - t0
+
+    if realistic:
+        metric += "_realemit"
+        extras["emissions_per_utt"] = round(
+            float(np.mean([len(h[0]["tokens"]) for h in outs[0]])), 1
+        )
 
     audio_seconds = iters * B * T * FRAME_SHIFT_S
     rtfx = audio_seconds / wall
@@ -166,6 +250,7 @@ def main():
                 "value": round(rtfx, 2),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(rtfx / 500.0, 4),
+                **extras,
             }
         )
     )
