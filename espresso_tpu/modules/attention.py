@@ -228,10 +228,12 @@ class MultiheadAttention(nn.Module):
             p_flat = self.pos_proj(rel_pos)  # [2L-1, D]
             Tq_, Tk_ = q.shape[1], k.shape[1]
             L_ = (p_flat.shape[0] + 1) // 2
-            # opt-in until an on-chip parity+perf A/B lands (AOT compile
-            # of the kernel at the flagship shape passes; see
-            # tools/aot_check.py check_attention/check_encoder_fused)
-            fused_mode = os.environ.get("ESPRESSO_FUSED_ATTN", "off")
+            # default-on for TPU inference since the round-4 on-chip A/B:
+            # flagship decode encoder (B=256, T'=156, 16 layers) 340.8 ->
+            # 284.3 ms/call (-16.6%), output drift at bf16 rounding scale
+            # (max abs 0.078 after 16 layers). ESPRESSO_FUSED_ATTN=off
+            # restores the jnp path; =interpret for CPU parity tests.
+            fused_mode = os.environ.get("ESPRESSO_FUSED_ATTN", "auto")
             if (
                 fused_mode != "off"
                 and deterministic

@@ -66,11 +66,15 @@ def _ceil_to(x: int, m: int) -> int:
 def _vmem_bytes(nb: int, T: int, D: int, W: int) -> int:
     Tp = _ceil_to(T, 16)
     Wp = _ceil_to(W, 128)
-    io = 5 * nb * Tp * D * 2 + Wp * D * 2  # qu/qv/k/v/out blocks + p table
-    mask = nb * _ceil_to(T, 128) * 4
+    # qu/qv/k/v/out blocks (bf16 — rel_attention_fused casts operands) +
+    # the p table + the f32 mask block. Mosaic double-buffers every
+    # grid-blocked operand to pipeline iterations, so the IO side counts
+    # twice (the round-3 estimate missed this and OOM'd scoped vmem at the
+    # flagship decode shape: 20 MB allocated vs the 16 MB/core limit).
+    io = 5 * nb * Tp * D * 2 + Wp * D * 2 + nb * _ceil_to(T, 128) * 4
     # per-(b,h) live tiles: ac + s [Tp, Tp] f32, bd_full + rolled [Tp, W] f32
     live = 2 * Tp * _ceil_to(Tp, 128) * 4 + 2 * Tp * Wp * 4
-    return io + mask + live
+    return 2 * io + live
 
 
 def _pick_nb(B: int, T: int, D: int, W: int) -> Optional[int]:
@@ -135,8 +139,10 @@ def _build_kernel(H: int, d: int, T: int, W: int, nb: int, scale: float):
     def kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, mask_ref, o_ref):
         rowid = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
         for i in range(nb):
-            # [1, T] f32 additive mask row (static single-row slice)
-            mask_row = jax.lax.slice(mask_ref[:], (i, 0), (i + 1, T))
+            # [1, T] f32 additive mask row. The mask rides as [B, 1, T] so
+            # its block's constrained last-two dims are (1, T) — full-array —
+            # and nb (any value, incl. < 8) is the free leading dim.
+            mask_row = mask_ref[i]
             for h in range(H):
                 sl = slice(h * d, (h + 1) * d)
                 qu = qu_ref[i, :, sl].astype(bf16)  # [T, d]
@@ -197,12 +203,19 @@ def rel_attention_fused(
     nb = _pick_nb(B, T, D, W)
     assert nb is not None, "shape over VMEM budget — use the jnp path"
 
+    out_dtype = q_u.dtype
+    # the kernel's arithmetic is bf16 dots + f32 softmax regardless of the
+    # operand dtype, so ship bf16 over the HBM->VMEM pipe (halves IO; f32
+    # callers — e.g. a module applied on un-cast params — otherwise blow
+    # the double-buffered block budget)
+    bf16 = jnp.bfloat16
+    q_u, q_v, k, v, p = (x.astype(bf16) for x in (q_u, q_v, k, v, p))
     p_pad = jnp.zeros((W, D), p.dtype).at[: 2 * T - 1].set(p)
     mask_add = jnp.where(key_valid, 0.0, NEG_INF).astype(jnp.float32)
 
     kernel = _build_kernel(H, d, T, W, nb, scale)
     bs = pl.BlockSpec((nb, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B // nb,),
         in_specs=(
@@ -211,12 +224,15 @@ def rel_attention_fused(
             bs,
             bs,
             pl.BlockSpec((W, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nb, 1, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
         ),
         out_specs=bs,
-        out_shape=jax.ShapeDtypeStruct((B, T, D), q_u.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), bf16),
         interpret=interpret,
-    )(q_u, q_v, k, v, p_pad, mask_add)
+    )(q_u, q_v, k, v, p_pad, mask_add[:, None, :])
+    return out.astype(out_dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
