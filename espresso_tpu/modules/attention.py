@@ -277,6 +277,65 @@ class MultiheadAttention(nn.Module):
                         fused_mode == "interpret",
                     )
                     return self.out_proj(ctx), None, new_cache
+            if (
+                fused_mode != "off"
+                and not deterministic
+                and not need_weights
+                and attn_mask is None
+                and cache is None
+                and key is query
+                and Tq_ == Tk_ == L_
+            ):
+                # TRAIN fused path: forward applies attention-weight dropout
+                # in-kernel (hash-derived mask, reference flax semantics:
+                # keep ~ Bernoulli(1-rate), kept weights scaled 1/(1-rate));
+                # backward is a flash-style Pallas kernel — no [B,H,T,T]
+                # score tensors or skew reshapes in HBM
+                # (ops/attention_kernels.rel_attention_train)
+                from espresso_tpu.ops.attention_kernels import (
+                    rel_attention_train,
+                    supports_rel_attention_train,
+                )
+
+                if supports_rel_attention_train(
+                    q.shape[0],
+                    Tq_,
+                    self.num_heads,
+                    self.head_dim,
+                    require_tpu=(fused_mode != "interpret"),
+                ):
+                    B_, T_ = q.shape[0], Tq_
+                    D_ = self.embed_dim
+                    qf = q.reshape(B_, T_, D_)
+                    kv_mask = (
+                        key_padding_mask
+                        if key_padding_mask is not None
+                        else jnp.ones((B_, T_), bool)
+                    )
+                    if self.dropout > 0.0:
+                        seed = jax.random.randint(
+                            self.make_rng("dropout"),
+                            (),
+                            0,
+                            jnp.int32(2**31 - 1),
+                            dtype=jnp.int32,
+                        )
+                    else:
+                        seed = jnp.int32(0)
+                    ctx = rel_attention_train(
+                        qf + self.pos_bias_u.reshape(D_),
+                        qf + self.pos_bias_v.reshape(D_),
+                        k.reshape(B_, T_, D_),
+                        v.reshape(B_, T_, D_),
+                        p_flat,
+                        kv_mask,
+                        seed,
+                        self.num_heads,
+                        scale,
+                        float(self.dropout),
+                        fused_mode == "interpret",
+                    )
+                    return self.out_proj(ctx), None, new_cache
             p = p_flat.reshape(-1, self.num_heads, self.head_dim)
             q_u = q + self.pos_bias_u[None, None]
             q_v = q + self.pos_bias_v[None, None]

@@ -171,3 +171,172 @@ def test_support_gate():
     assert supports_rel_attention(4, 156, 8, 64, require_tpu=False)
     # VMEM blowup: giant T falls back
     assert not supports_rel_attention(1, 20000, 8, 64, require_tpu=False)
+
+
+# ---------------------------------------------------------------------------
+# Training kernel (fused forward + in-kernel dropout + Pallas backward)
+# ---------------------------------------------------------------------------
+
+from espresso_tpu.ops.attention_kernels import (  # noqa: E402
+    _ref_flat,
+    dropout_keep_mask,
+    rel_attention_train,
+    rel_attention_train_reference,
+    supports_rel_attention_train,
+)
+
+
+@pytest.mark.parametrize("T", [8, 23])
+def test_train_forward_rate0_matches_inference_reference(T):
+    B, H, d = 2, 2, 64
+    q_u, q_v, k, v, p, key_valid = _make_inputs(B, T, H, d, seed=7)
+    scale = d ** -0.5
+    out = rel_attention_train(
+        q_u, q_v, k, v, p, key_valid, 123, H, scale, 0.0, True
+    )
+    ref = _ref_flat(q_u, q_v, k, v, p, key_valid, H, scale)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        rtol=2e-2,
+        atol=2e-2,
+    )
+
+
+def test_train_dropout_mask_statistics_and_determinism():
+    rate = 0.35
+    km = np.asarray(dropout_keep_mask(123, 0, 0, 64, 64, rate))
+    assert abs(km.mean() - (1.0 - rate)) < 0.04
+    km2 = np.asarray(dropout_keep_mask(123, 0, 0, 64, 64, rate))
+    np.testing.assert_array_equal(km, km2)  # same seed -> same mask
+    km3 = np.asarray(dropout_keep_mask(124, 0, 0, 64, 64, rate))
+    assert (km != km3).any()  # different seed -> different mask
+    km4 = np.asarray(dropout_keep_mask(123, 1, 0, 64, 64, rate))
+    assert (km != km4).any()  # different item -> different mask
+    km5 = np.asarray(dropout_keep_mask(123, 0, 1, 64, 64, rate))
+    assert (km != km5).any()  # different head -> different mask
+
+
+def test_train_forward_with_dropout_matches_oracle():
+    """The kernel's in-kernel dropout must equal the pure-jnp replay of the
+    same hash (rel_attention_train_reference)."""
+    B, T, H, d = 2, 23, 2, 64
+    q_u, q_v, k, v, p, key_valid = _make_inputs(B, T, H, d, seed=8)
+    scale = d ** -0.5
+    rate = 0.35
+    out = rel_attention_train(
+        q_u, q_v, k, v, p, key_valid, 123, H, scale, rate, True
+    )
+    ref = rel_attention_train_reference(
+        q_u, q_v, k, v, p, key_valid, H, scale, rate, 123
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        rtol=3e-2,
+        atol=3e-2,
+    )
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.35])
+def test_train_backward_matches_oracle_vjp(rate):
+    """The Pallas backward (recompute + explicit grads) must match the jnp
+    oracle's vjp — same dropout mask via the shared hash — for all five
+    inputs, within bf16 rounding of the in-kernel matmuls."""
+    import jax
+
+    B, T, H, d = 2, 17, 2, 64
+    q_u, q_v, k, v, p, key_valid = _make_inputs(B, T, H, d, seed=9)
+    scale = d ** -0.5
+    g = jnp.asarray(
+        np.random.default_rng(10)
+        .standard_normal((B, T, H * d))
+        .astype(np.float32)
+    )
+    _, vjp_f = jax.vjp(
+        lambda *a: rel_attention_train(
+            *a, key_valid, jnp.int32(99), H, scale, rate, True
+        ).astype(jnp.float32),
+        q_u, q_v, k, v, p,
+    )
+    _, vjp_r = jax.vjp(
+        lambda *a: rel_attention_train_reference(
+            *a, key_valid, H, scale, rate, 99
+        ).astype(jnp.float32),
+        q_u, q_v, k, v, p,
+    )
+    for name, a, b in zip(
+        ["dq_u", "dq_v", "dk", "dv", "dp"], vjp_f(g), vjp_r(g)
+    ):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale_ref = max(np.abs(b).max(), 1.0)
+        assert np.abs(a - b).max() < 0.05 * scale_ref, (
+            name,
+            np.abs(a - b).max(),
+            scale_ref,
+        )
+
+
+def test_train_module_dispatch_parity_rate0():
+    """MultiheadAttention in TRAIN mode (deterministic=False) with dropout=0
+    must match the jnp path through the module under the fused dispatch."""
+    B, T, H, D = 4, 37, 4, 256
+    mod = MultiheadAttention(D, H, use_relative_pos=True, dropout=0.0)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    rel = jnp.asarray(rng.standard_normal((2 * T - 1, D)).astype(np.float32))
+    lens = rng.integers(1, T + 1, size=B)
+    mask = jnp.asarray(np.arange(T)[None, :] < lens[:, None])
+    variables = mod.init(
+        jax.random.PRNGKey(0), x, x, x, key_padding_mask=mask, rel_pos=rel
+    )
+    bf = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32
+        else a,
+        t,
+    )
+    variables, xb, relb = (
+        bf(variables),
+        x.astype(jnp.bfloat16),
+        rel.astype(jnp.bfloat16),
+    )
+
+    def run():
+        out, _, _ = mod.apply(
+            variables,
+            xb,
+            xb,
+            xb,
+            key_padding_mask=mask,
+            rel_pos=relb,
+            deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(5)},
+        )
+        return np.asarray(out, np.float32)
+
+    old = os.environ.get("ESPRESSO_FUSED_ATTN")
+    try:
+        os.environ["ESPRESSO_FUSED_ATTN"] = "off"
+        ref = run()
+        os.environ["ESPRESSO_FUSED_ATTN"] = "interpret"
+        fused = run()
+    finally:
+        if old is None:
+            os.environ.pop("ESPRESSO_FUSED_ATTN", None)
+        else:
+            os.environ["ESPRESSO_FUSED_ATTN"] = old
+    valid_q = np.asarray(mask)
+    np.testing.assert_allclose(
+        fused[valid_q], ref[valid_q], rtol=2e-2, atol=2e-2
+    )
+
+
+def test_train_support_gate():
+    # the flagship train shape must ride the kernel
+    assert supports_rel_attention_train(16, 256, 8, 64, require_tpu=False)
+    assert not supports_rel_attention_train(4, 16, 3, 64, require_tpu=False)
+    assert not supports_rel_attention_train(
+        1, 20000, 8, 64, require_tpu=False
+    )
