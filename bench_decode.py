@@ -93,6 +93,9 @@ def calibrate_blank_bias(decoder, variables, batch, target):
 
 
 def main():
+    from espresso_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

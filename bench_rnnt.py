@@ -20,6 +20,10 @@ Recorded 2026-08-18 on v5e (1 chip):
 import sys
 import time
 
+from espresso_tpu.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -57,6 +57,9 @@ def analytic_flops(B, T, U, feat, d, ffn, layers, heads, J, V, pred_layers):
 
 
 def main():
+    from espresso_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
 
     # hardware RNG for dropout masks (cfg.common.prng_impl default;

@@ -435,6 +435,13 @@ def parse_config(argv: List[str]) -> EspressoConfig:
     Every key the user explicitly set — through YAML or argv — is recorded
     in ``cfg._explicit_keys`` so later passes (apply_saved_model_cfg) can
     distinguish a deliberate value from a dataclass default."""
+    # every CLI funnels through here before touching jax: turn on the
+    # persistent XLA compilation cache so repeat invocations at the same
+    # operating point (decode reruns, resumed training, benches) skip the
+    # minutes-long cold compile (espresso_tpu/compile_cache.py)
+    from espresso_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg = EspressoConfig()
     explicit: set = set()
     overrides: List[Tuple[str, Any]] = []
