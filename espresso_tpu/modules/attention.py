@@ -277,8 +277,18 @@ class MultiheadAttention(nn.Module):
                         fused_mode == "interpret",
                     )
                     return self.out_proj(ctx), None, new_cache
+            # TRAIN fused path: OPT-IN via its own env switch, separate from
+            # the inference kernel's (which earned default-on through an
+            # on-chip A/B). ESPRESSO_FUSED_ATTN_TRAIN=auto|on enables it;
+            # =interpret runs the interpret-mode kernel for CPU parity
+            # tests; default off until an on-chip win is recorded in
+            # STATUS.md. Note its in-kernel hash dropout draws a different
+            # stream than flax RNG, so fused-vs-jnp training runs are only
+            # comparable at dropout rate 0.
+            train_mode = os.environ.get("ESPRESSO_FUSED_ATTN_TRAIN", "off")
             if (
                 fused_mode != "off"
+                and train_mode in ("auto", "on", "interpret")
                 and not deterministic
                 and not need_weights
                 and attn_mask is None
@@ -286,8 +296,8 @@ class MultiheadAttention(nn.Module):
                 and key is query
                 and Tq_ == Tk_ == L_
             ):
-                # TRAIN fused path: forward applies attention-weight dropout
-                # in-kernel (hash-derived mask, reference flax semantics:
+                # forward applies attention-weight dropout in-kernel
+                # (hash-derived mask, reference flax semantics:
                 # keep ~ Bernoulli(1-rate), kept weights scaled 1/(1-rate));
                 # backward is a flash-style Pallas kernel — no [B,H,T,T]
                 # score tensors or skew reshapes in HBM
@@ -302,7 +312,7 @@ class MultiheadAttention(nn.Module):
                     Tq_,
                     self.num_heads,
                     self.head_dim,
-                    require_tpu=(fused_mode != "interpret"),
+                    require_tpu=(train_mode != "interpret"),
                 ):
                     B_, T_ = q.shape[0], Tq_
                     D_ = self.embed_dim
@@ -333,7 +343,7 @@ class MultiheadAttention(nn.Module):
                         self.num_heads,
                         scale,
                         float(self.dropout),
-                        fused_mode == "interpret",
+                        train_mode == "interpret",
                     )
                     return self.out_proj(ctx), None, new_cache
             p = p_flat.reshape(-1, self.num_heads, self.head_dim)

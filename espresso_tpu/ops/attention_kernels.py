@@ -340,11 +340,23 @@ def _keep_mask_tile(seed, item, head, Tq, Tk):
     Mosaic, interpret mode, and the host-side oracle. The sign bit is
     dropped before the threshold compare so the compare stays signed-safe;
     31 uniform bits are plenty for a dropout draw.
+
+    The (seed, item, head) triple is finalized with ``_imix`` BEFORE the
+    row index enters the stream: folding ``item`` and ``q`` linearly with
+    the same multiplier made the hash a function of ``item + q``, so each
+    batch item's mask was a row-shifted copy of its neighbor's (correlated
+    draws across the batch). The nonlinear finalize breaks the aliasing;
+    ``test_train_dropout_mask_not_shifted_copies`` pins it.
     """
     gold = np.int32(_i32(0x9E3779B1))
     q = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0)
     kk = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
-    x = seed + item * gold + np.int32(head) * np.int32(0x27D4EB2F)
+    # head is static — fold its product at trace time; item may be a python
+    # int (the host oracle) or a traced scalar (in-kernel) — route it
+    # through jnp so the wrapping multiply stays int32 without numpy's
+    # scalar-overflow warning
+    head_c = np.int32(_i32(head * 0x27D4EB2F))
+    x = _imix(seed + jnp.asarray(item, jnp.int32) * gold + head_c)
     x = _imix(x + q * gold)
     x = _imix(x ^ (kk * np.int32(0x165667B1)))
     return _lshr(x, 1)  # 31 uniform bits, >= 0
@@ -537,10 +549,14 @@ def _build_train_kernels(
                 # tile (the adjoint of the forward's slice), then invert the
                 # forward's per-row right-roll-by-q: left-roll by q ==
                 # right-roll by W - 2^b per set bit of q (rolls compose
-                # additively mod W)
-                dbd = jax.lax.dynamic_update_slice(
-                    jnp.zeros((T, W), f32), ds, (0, T - 1)
+                # additively mod W). The placement is concat-to-width then a
+                # STATIC whole-tile roll by T-1 — dynamic_update_slice has
+                # no Mosaic TC lowering (caught by aot_check train_fused;
+                # interpret-mode tests never exercise Mosaic lowering)
+                dbd = jnp.concatenate(
+                    [ds, jnp.zeros((T, W - T), f32)], axis=1
                 )
+                dbd = pltpu.roll(dbd, T - 1, axis=1)
                 for b in range(nbits):
                     rolled = pltpu.roll(dbd, W - (1 << b), axis=1)
                     dbd = jnp.where(((rowid >> b) & 1) == 1, rolled, dbd)

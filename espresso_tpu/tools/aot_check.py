@@ -304,11 +304,24 @@ def check_encoder_fused():
         os.environ.pop("ESPRESSO_FUSED_ATTN", None)
 
 
+def check_train_fused():
+    """Compile the flagship train step WITH the opt-in fused train-path
+    attention kernel engaged (ESPRESSO_FUSED_ATTN_TRAIN=auto) — the Mosaic
+    acceptance presubmit for ops/attention_kernels.rel_attention_train
+    fwd+bwd inside the full jitted step."""
+    os.environ["ESPRESSO_FUSED_ATTN_TRAIN"] = "auto"
+    try:
+        check_train()
+    finally:
+        os.environ.pop("ESPRESSO_FUSED_ATTN_TRAIN", None)
+
+
 CHECKS = {
     "beam": check_beam,
     "beam_lm": check_beam_lm,
     "greedy": check_greedy,
     "train": check_train,
+    "train_fused": check_train_fused,
     "attention": check_attention,
     "encoder_fused": check_encoder_fused,
 }
