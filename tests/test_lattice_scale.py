@@ -1,0 +1,281 @@
+"""Scale-hardened randomized differential oracles for the lattice stage.
+
+Round-4 verdict: the in-tree lattice pipeline (clib/fst_decode.cpp +
+tools/lattice + tools/arpa — the rebuild of the reference's Kaldi stage,
+/root/reference/examples/asr_wsj/run_chain_e2e.sh:218-233) was oracle-
+tested only on small brute-force-enumerable graphs. These tests run the
+same contracts on RANDOMIZED word-loop graphs at hundreds of states with
+epsilon-heavy word arcs (eps entries/exits, eps skips, an eps backoff
+hub — the HCLG shape):
+
+  * best_path_sweep at every (lm_scale, word_ins_penalty) sweep point
+    equals a direct Viterbi decode of the graph re-weighted at that scale
+    (no enumeration needed — exact at any size);
+  * lmrescore against brute-force path enumeration with a RANDOM ARPA
+    bigram model (backoffs included), at multiple lm_scales;
+  * decoder output and the full lattice arc set are invariant to
+    beam/max_active when both are effectively unpruned;
+  * native C++ and the NumPy mirror agree arc-for-arc under real pruning
+    at this scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from espresso_tpu.tools import lattice as L
+from espresso_tpu.tools.arpa import ArpaLM
+from espresso_tpu.tools.fst_decoder import DecodingGraph, FstDecoder
+
+
+def _random_word_loop_graph(
+    rng: np.random.Generator,
+    n_words: int = 60,
+    n_pdfs: int = 24,
+    p_skip: float = 0.35,
+):
+    """Random lexicon-loop graph: state 0 is the start/loop state; each
+    word is an eps entry (carrying the word label) into a 2-4 state
+    left-to-right pdf chain with self-loops, emitting advances, optional
+    EPSILON skip arcs (from the second chain state on, so every loop
+    traversal keeps >= 1 emitting arc — no zero-emission eps cycles), and
+    an eps exit back to the loop state. An extra eps 'backoff' hub adds
+    depth-2 epsilon chains into every third word. Returns (graph,
+    num_states, id2word)."""
+    arcs = []
+    finals = [(0, float(rng.uniform(0.0, 0.5)))]
+    next_state = 1
+    word_entries = []
+    for w in range(1, n_words + 1):
+        chain = int(rng.integers(2, 5))
+        states = list(range(next_state, next_state + chain))
+        next_state += chain
+        arcs.append((0, states[0], 0, w, float(rng.uniform(0.2, 2.0))))
+        word_entries.append((states[0], w))
+        for i, s in enumerate(states):
+            pdf = int(rng.integers(1, n_pdfs + 1))
+            arcs.append((s, s, pdf, 0, float(rng.uniform(0.1, 0.8))))
+            if i + 1 < chain:
+                nxt = states[i + 1]
+                pdf2 = int(rng.integers(1, n_pdfs + 1))
+                arcs.append((s, nxt, pdf2, 0, float(rng.uniform(0.1, 0.8))))
+                if i >= 1 and rng.random() < p_skip:
+                    arcs.append((s, nxt, 0, 0, float(rng.uniform(0.3, 1.0))))
+            else:
+                arcs.append((s, 0, 0, 0, float(rng.uniform(0.1, 0.5))))
+    bo = next_state
+    next_state += 1
+    arcs.append((0, bo, 0, 0, float(rng.uniform(0.5, 1.5))))
+    for s_entry, w in word_entries[::3]:
+        arcs.append((bo, s_entry, 0, w, float(rng.uniform(0.1, 1.0))))
+    id2word = {w: f"w{w}" for w in range(1, n_words + 1)}
+    return (
+        DecodingGraph.from_arcs(arcs, finals, start=0),
+        next_state,
+        id2word,
+        arcs,
+        finals,
+    )
+
+
+def _scaled_graph(arcs, finals, lm_scale: float, wip: float) -> DecodingGraph:
+    """Re-weight the graph the way (lattice-scale --lm-scale +
+    lattice-add-penalty) re-weights the lattice: graph costs x lm_scale,
+    + wip on every word-emitting arc; final costs x lm_scale."""
+    scaled = [
+        (s, d, il, ol, w * lm_scale + (wip if ol != 0 else 0.0))
+        for (s, d, il, ol, w) in arcs
+    ]
+    fin = [(s, w * lm_scale) for (s, w) in finals]
+    return DecodingGraph.from_arcs(scaled, fin, start=0)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sweep_equals_direct_viterbi_at_scale(seed):
+    rng = np.random.default_rng(seed)
+    g, n_states, _, arcs, finals = _random_word_loop_graph(rng)
+    assert n_states >= 100, n_states
+    T = 20
+    ll = rng.standard_normal((T, 24)).astype(np.float32)
+    dec = FstDecoder(g, acoustic_scale=1.0, beam=1e9, max_active=0)
+    lat, status = dec.decode_lattice(ll, lattice_beam=1e8)
+    assert status == "final"
+    assert lat.num_nodes >= 100
+
+    lm_scales = [0.5, 1.0, 1.5, 2.0, 0.0769]  # incl. a 1/13 LMWT-ish point
+    wips = [0.0, 0.5, 1.0]
+    points = [(s, p) for s in lm_scales for p in wips]
+    sweep = L.best_path_sweep(
+        lat,
+        acoustic_scale=1.0,
+        lm_scale=[s for s, _ in points],
+        word_ins_penalty=[p for _, p in points],
+    )
+    for (lm_s, wip), (words, cost) in zip(points, sweep):
+        g2 = _scaled_graph(arcs, finals, lm_s, wip)
+        dec2 = FstDecoder(g2, acoustic_scale=1.0, beam=1e9, max_active=0)
+        vwords, vcost, final = dec2.decode(ll)
+        assert final
+        np.testing.assert_allclose(cost, vcost, rtol=2e-5, atol=2e-4), (
+            lm_s,
+            wip,
+        )
+        # the word sequence itself may tie in cost; when the decoders
+        # disagree the costs above already proved both are optimal
+
+
+def _random_arpa(rng: np.random.Generator, words, tmp_path, name: str) -> str:
+    """Random well-formed bigram ARPA over ``words`` (+ <s>, </s>, <unk>)
+    with random backoff weights and a random subset of bigrams."""
+    vocab = ["<s>", "</s>", "<unk>"] + list(words)
+    uni = []
+    for w in vocab:
+        lp = -float(rng.uniform(0.3, 2.5))
+        bo = -float(rng.uniform(0.05, 1.0))
+        if w == "</s>":
+            uni.append(f"{lp:.4f} {w}")
+        else:
+            uni.append(f"{lp:.4f} {w} {bo:.4f}")
+    bi = []
+    heads = ["<s>"] + list(words)
+    tails = ["</s>"] + list(words)
+    for h in heads:
+        for t in tails:
+            if rng.random() < 0.15:
+                bi.append(f"{-float(rng.uniform(0.1, 2.0)):.4f} {h} {t}")
+    text = (
+        "\\data\\\n"
+        f"ngram 1={len(uni)}\n"
+        f"ngram 2={len(bi)}\n\n"
+        "\\1-grams:\n" + "\n".join(uni) + "\n\n"
+        "\\2-grams:\n" + "\n".join(bi) + "\n\n\\end\\\n"
+    )
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+@pytest.mark.parametrize("seed,lm_scale", [(0, 1.0), (1, 0.62), (2, 1.3)])
+def test_lmrescore_random_arpa_matches_enumeration(tmp_path, seed, lm_scale):
+    rng = np.random.default_rng(seed)
+    g, n_states, id2word, _, _ = _random_word_loop_graph(rng, n_words=60)
+    assert n_states >= 100
+    T = 6
+    ll = rng.standard_normal((T, 24)).astype(np.float32)
+    dec = FstDecoder(g, acoustic_scale=1.0, beam=1e9, max_active=0)
+    # lattice_beam sized so the path enumeration oracle stays complete
+    # (the assert below) while the lattice still spans 100+ nodes
+    lat, status = dec.decode_lattice(ll, lattice_beam=1.5)
+    assert status == "final"
+    # the graph is 100+ states (asserted above); the pruned lattice must
+    # still be non-trivial for the oracle to mean anything
+    assert lat.num_nodes >= 50, lat.num_nodes
+
+    lm = ArpaLM.load(_random_arpa(rng, list(id2word.values()), tmp_path,
+                                  f"lm{seed}.arpa"))
+    resc = L.lmrescore(lat, lm, id2word, lm_scale=lm_scale)
+
+    paths = L.enumerate_paths(lat, max_paths=200000)
+    assert 0 < len(paths) < 200000  # oracle must be complete
+    seqs: dict = {}
+    for seq, cost in paths:
+        if seq not in seqs or cost < seqs[seq]:
+            seqs[seq] = cost
+    best_manual, best_seq = np.inf, None
+    for seq, cost in seqs.items():
+        tot = cost + lm_scale * lm.sentence_cost([id2word[i] for i in seq])
+        if tot < best_manual:
+            best_manual, best_seq = tot, seq
+    bp, bc = L.best_path(resc)
+    np.testing.assert_allclose(bc, best_manual, rtol=1e-5, atol=1e-4)
+    # runner-up gap check: only assert sequence equality when unique
+    second = min(
+        (
+            c + lm_scale * lm.sentence_cost([id2word[i] for i in s])
+            for s, c in seqs.items()
+            if s != best_seq
+        ),
+        default=np.inf,
+    )
+    if second > best_manual + 1e-3:
+        assert tuple(bp) == best_seq
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_unpruned_decode_invariant_to_beam_and_max_active(seed):
+    rng = np.random.default_rng(seed)
+    g, n_states, _, _, _ = _random_word_loop_graph(rng)
+    T = 15
+    ll = rng.standard_normal((T, 24)).astype(np.float32)
+
+    def run(beam, max_active):
+        dec = FstDecoder(g, acoustic_scale=1.0, beam=beam,
+                         max_active=max_active)
+        words, cost, final = dec.decode(ll)
+        lat, status = dec.decode_lattice(ll, lattice_beam=1e8)
+        return words, cost, final, lat, status
+
+    base = run(1e9, 0)
+    for beam, max_active in [(1e9, 10**7), (5e8, 0), (1e9, n_states * (T + 2))]:
+        other = run(beam, max_active)
+        assert other[0] == base[0]
+        np.testing.assert_allclose(other[1], base[1], rtol=1e-6)
+        assert other[2] == base[2] and other[4] == base[4]
+        a, b = base[3], other[3]
+        assert a.num_nodes == b.num_nodes and a.num_arcs == b.num_arcs
+
+        def arc_set(lat):
+            return sorted(
+                zip(
+                    lat.node_frame[lat.arc_src].tolist(),
+                    lat.node_frame[lat.arc_dst].tolist(),
+                    lat.arc_il.tolist(),
+                    lat.arc_ol.tolist(),
+                    np.round(lat.arc_g, 4).tolist(),
+                    np.round(lat.arc_a, 4).tolist(),
+                )
+            )
+
+        assert arc_set(a) == arc_set(b)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_native_matches_numpy_at_scale(seed):
+    rng = np.random.default_rng(seed)
+    g, n_states, _, _, _ = _random_word_loop_graph(rng)
+    assert n_states >= 100
+    T = 18
+    ll = rng.standard_normal((T, 24)).astype(np.float32)
+    dec = FstDecoder(g, acoustic_scale=0.9, beam=12.0, max_active=80)
+    if dec._lib is None:
+        pytest.skip("native lib unavailable")
+    lat_n, st_n = dec.decode_lattice(ll, lattice_beam=4.0, min_active=5)
+    lat_p, st_p = dec._decode_lattice_numpy(ll, 4.0, 5)
+    assert st_n == st_p
+    assert lat_n.num_nodes == lat_p.num_nodes
+    assert lat_n.num_arcs == lat_p.num_arcs
+
+    def arc_rows(lat):
+        # costs can differ by float32 rounding (the C++ multiplies
+        # acoustic_scale in float, NumPy in double) — sort on a coarse key
+        # and compare the full-precision costs with a tolerance
+        rows = sorted(
+            zip(
+                lat.arc_src.tolist(),
+                lat.arc_dst.tolist(),
+                lat.arc_il.tolist(),
+                lat.arc_ol.tolist(),
+                np.round(lat.arc_g, 3).tolist(),
+                np.round(lat.arc_a, 3).tolist(),
+                lat.arc_g.tolist(),
+                lat.arc_a.tolist(),
+            )
+        )
+        return rows
+
+    rn, rp = arc_rows(lat_n), arc_rows(lat_p)
+    assert [r[:4] for r in rn] == [r[:4] for r in rp]
+    np.testing.assert_allclose(
+        [r[6:] for r in rn], [r[6:] for r in rp], atol=3e-5, rtol=1e-5
+    )
