@@ -89,6 +89,17 @@ TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r".*(fc1|ffn1/Dense_0|ffn2/Dense_0)/kernel$", P(None, "model")),
     (r".*(fc2|ffn1/Dense_1|ffn2/Dense_1)/kernel$", P("model", None)),
     (r".*embed_tokens/embedding$", P("model", None)),
+    # vocab-parallel output projection (Megatron vocab-parallel CE,
+    # reference fairseq/model_parallel/criterions/vocab_parallel_cross_entropy.py
+    # + modules/: every model's output head here is named fc_out): the
+    # kernel is column-parallel over the vocab dim, so logits come out
+    # [B, T, V/model]-sharded and the criterion's log_softmax reduction
+    # over V becomes a GSPMD-inserted collective — no hand-written
+    # parallel CE needed, which is exactly the TPU-native form of the
+    # reference's custom kernel. Verified in the dp4xtp2 dryrun
+    # (__graft_entry__.dryrun_multichip).
+    (r".*fc_out/kernel$", P(None, "model")),
+    (r".*fc_out/bias$", P("model")),
     # BASE MoE layers: expert-parallelism = leading expert axis over 'model'
     # (the routing gather/scatter becomes an XLA all-to-all under GSPMD)
     (r".*base\d+/expert_centroids$", P("model", None)),
