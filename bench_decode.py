@@ -39,6 +39,37 @@ import numpy as np
 TARGET_EMISSIONS = 26.0  # per 6.24 s utterance (see module docstring)
 
 
+def _with_peaked_labels(variables, alpha, eos_index=None):
+    """Scale the joint fc_out logits by ``alpha`` (kernel and bias).
+
+    A random-init joint emits a near-uniform label softmax, so any label
+    expansion costs ~log(1/V) ~= -7 nats while the mandatory per-frame
+    blank cost is shared by all hypotheses — total-probability beam search
+    then prefers near-empty hypotheses at ANY blank bias (measured:
+    emissions stuck at ~1/utt across bias in [-20, 20]). Trained models
+    are peaked; scaling the logits emulates that so the blank-bias
+    calibration has a real operating range under beam search.
+
+    ``eos_index``: peaking also inflates the eos logit, and hypotheses
+    that draw eos terminate — measured as emissions capped at ~6/utt
+    under beam even with blank at -80. Real models emit eos only at
+    utterance end, so its bias is pushed far down here."""
+    import jax
+    import jax.numpy as jnp
+
+    flat = jax.tree_util.tree_map(lambda x: x, variables)
+    flat["params"] = dict(flat["params"])
+    flat["params"]["joint"] = dict(flat["params"]["joint"])
+    fc = dict(flat["params"]["joint"]["fc_out"])
+    fc["kernel"] = fc["kernel"] * jnp.asarray(alpha, fc["kernel"].dtype)
+    bias = fc["bias"] * jnp.asarray(alpha, fc["bias"].dtype)
+    if eos_index is not None:
+        bias = bias.at[eos_index].add(jnp.asarray(-300.0, bias.dtype))
+    fc["bias"] = bias
+    flat["params"]["joint"]["fc_out"] = fc
+    return flat
+
+
 def _with_blank_delta(variables, delta):
     """Return variables with ``delta`` added to the joint fc_out blank bias
     (blank index 0 — bench dictionaries put blank at 0)."""
@@ -69,7 +100,11 @@ def calibrate_blank_bias(decoder, variables, batch, target):
         out = decoder.decode(_with_blank_delta(variables, delta), batch)
         return float(np.mean([len(h[0]["tokens"]) for h in out]))
 
-    lo, hi = -20.0, 20.0  # lo: emit-everything, hi: all-blank
+    # lo: emit-everything, hi: all-blank. Beam search needs a much deeper
+    # blank penalty than greedy before it emits (every emission still
+    # costs its label log-prob against the whole-path total), so the
+    # bracket is wide; bisection cost is logarithmic in it anyway.
+    lo, hi = -80.0, 40.0
     e_lo, e_hi = emissions(lo), emissions(hi)
     if not (e_lo >= target >= e_hi):
         print(
@@ -92,7 +127,10 @@ def calibrate_blank_bias(decoder, variables, batch, target):
     return best
 
 
-def main():
+def build_point(point: str):
+    """Build (decoder, variables, batch, metric, meta) for a named decode
+    operating point ('beam', 'beam_lm', 'greedy') — shared by the bench
+    main() and the profiler (bench_decode_profile.py)."""
     from espresso_tpu.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -103,10 +141,6 @@ def main():
     from espresso_tpu.models.speech_transformer import SpeechTransformerConfig
     from espresso_tpu.models.transducer import TransducerConfig, TransducerModel
 
-    point = sys.argv[1] if len(sys.argv) > 1 else "beam_lm"
-    realistic = point.endswith("_real")
-    if realistic:
-        point = point[: -len("_real")]
     VOCAB = 1024
     FEAT_DIM = 80
     B = 256
@@ -213,14 +247,38 @@ def main():
             lm_weight=lm_weight,
             lm_variables=lm_vars,
         )
+    meta = {"B": B, "T": T, "frame_shift_s": FRAME_SHIFT_S}
+    return decoder, variables, batch, metric, meta
+
+
+def main():
+    point = sys.argv[1] if len(sys.argv) > 1 else "beam_lm"
+    realistic = point.endswith("_real")
+    if realistic:
+        point = point[: -len("_real")]
+    decoder, variables, batch, metric, meta = build_point(point)
+    B, T, FRAME_SHIFT_S = meta["B"], meta["T"], meta["frame_shift_s"]
 
     extras = {}
     if realistic:
+        # per-decoder peaking: greedy calibrates cleanly on the raw random
+        # joint (its emission curve vs blank bias is smooth), while beam
+        # search needs a peaked label softmax to emit at all — and greedy
+        # UNDER peaking turns all-or-nothing (every frame's top-label
+        # margin crosses the shared bias threshold together)
+        default_peak = "1.0" if point == "greedy" else "6.0"
+        peak = float(os.environ.get("ESPRESSO_BENCH_PEAK", default_peak))
+        if peak != 1.0:
+            eos_index = getattr(decoder, "dict", None)
+            eos_index = eos_index.eos() if eos_index is not None else None
+            variables = _with_peaked_labels(variables, peak, eos_index)
         delta, epu = calibrate_blank_bias(
             decoder, variables, batch, TARGET_EMISSIONS
         )
         variables = _with_blank_delta(variables, delta)
         extras = {
+            "label_peak_scale": peak,
+            "eos_suppressed": bool(peak != 1.0),
             "blank_bias_delta": round(delta, 3),
             "calibrated_emissions_per_utt": round(epu, 1),
         }
