@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -33,6 +34,7 @@ import time
 import numpy as np
 
 _T0 = time.monotonic()
+_CHILD = None  # current measurement subprocess (for signal cleanup)
 
 
 def _log(msg: str) -> None:
@@ -161,6 +163,17 @@ def main():
     # cold program compiled+loaded in 168 s at 11:19 and 595 s at 12:00 —
     # the server-side compile service varies ~4x run to run. Budget wide.
     budget = float(os.environ.get("ESPRESSO_BENCH_BUDGET_S", "1700"))
+
+    # if an external timeout kills THIS process, take the child with us —
+    # an orphaned child would keep holding the (single-lease) TPU
+    def _reap(signum, frame):
+        _log(f"signal {signum} — killing child and exiting")
+        if _CHILD is not None and _CHILD.poll() is None:
+            _CHILD.kill()
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _reap)
+    signal.signal(signal.SIGINT, _reap)
     attempts = [
         ("default", {}),
         # fallback: no Pallas attention kernel in the program — the plain
@@ -179,7 +192,8 @@ def main():
         env["ESPRESSO_BENCH_CHILD"] = "1"
         env.update(extra)
         _log(f"attempt '{name}' (limit {limit:.0f}s)")
-        proc = subprocess.Popen(
+        global _CHILD
+        proc = _CHILD = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             stdout=subprocess.PIPE,
