@@ -77,7 +77,10 @@ def main():
         make_train_step,
     )
 
-    VOCAB, FEAT, B, T, U = 1024, 80, 16, 1024, 100
+    VOCAB, FEAT, T, U = 1024, 80, 1024, 100
+    # flagship point is B=16; ESPRESSO_BENCH_TRAIN_B measures the MFU-vs-
+    # batch curve (the step is floor-dominated at B=16 — see STATUS)
+    B = int(os.environ.get("ESPRESSO_BENCH_TRAIN_B", "16"))
     D, FFN, LAYERS, HEADS, J, PRED_LAYERS = 512, 2048, 16, 8, 512, 2
 
     mcfg = TransducerConfig(
