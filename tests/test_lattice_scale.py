@@ -91,11 +91,13 @@ def _scaled_graph(arcs, finals, lm_scale: float, wip: float) -> DecodingGraph:
     return DecodingGraph.from_arcs(scaled, fin, start=0)
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_sweep_equals_direct_viterbi_at_scale(seed):
+@pytest.mark.parametrize("seed,n_words", [(0, 60), (1, 60), (2, 150)])
+def test_sweep_equals_direct_viterbi_at_scale(seed, n_words):
     rng = np.random.default_rng(seed)
-    g, n_states, _, arcs, finals = _random_word_loop_graph(rng)
-    assert n_states >= 100, n_states
+    g, n_states, _, arcs, finals = _random_word_loop_graph(
+        rng, n_words=n_words
+    )
+    assert n_states >= (100 if n_words == 60 else 400), n_states
     T = 20
     ll = rng.standard_normal((T, 24)).astype(np.float32)
     dec = FstDecoder(g, acoustic_scale=1.0, beam=1e9, max_active=0)
