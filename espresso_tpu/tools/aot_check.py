@@ -146,7 +146,7 @@ def _decode_program(point: str):
         )
 
         dec = TransducerGreedyDecoder(model, dic, max_out_factor=0.35)
-        Bg = 32  # bench_decode.py greedy point
+        Bg = 256  # bench_decode.py greedy point (B=256 since round 5)
         L_max = max(int(T * dec.max_out_factor), 8)
         fg = jax.ShapeDtypeStruct((Bg, T, FEAT), jnp.bfloat16, sharding=s)
         lg = jax.ShapeDtypeStruct((Bg,), jnp.int32, sharding=s)
