@@ -76,6 +76,7 @@ def test_parity_dry_run():
         pytest.param(["attention"], id="attention"),
         pytest.param(["train_fused"], id="train_fused"),
         pytest.param(["beam", "greedy"], id="decode"),
+        pytest.param(["beam_lm"], id="decode_lm"),
     ],
 )
 def test_aot_mosaic_presubmit(programs):
