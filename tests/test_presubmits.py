@@ -74,9 +74,13 @@ def test_parity_dry_run():
     "programs",
     [
         pytest.param(["attention"], id="attention"),
+        # plain train = the default path HEAD trains with; train_fused =
+        # the opt-in ESPRESSO_FUSED_ATTN_TRAIN kernel engaged
+        pytest.param(["train"], id="train"),
         pytest.param(["train_fused"], id="train_fused"),
         pytest.param(["beam", "greedy"], id="decode"),
         pytest.param(["beam_lm"], id="decode_lm"),
+        pytest.param(["encoder_fused"], id="encoder_fused"),
     ],
 )
 def test_aot_mosaic_presubmit(programs):
