@@ -18,8 +18,8 @@ crash the parent kills it and retries once with ESPRESSO_FUSED_ATTN=off
 and every CLI enable the persistent XLA compilation cache
 (espresso_tpu/compile_cache.py, repo-local .jax_cache), so a warm re-run
 skips the minutes-long cold compile entirely. Knobs:
-ESPRESSO_BENCH_BUDGET_S (default 1380), ESPRESSO_BENCH_NO_FORK=1 to run
-in-process.
+ESPRESSO_BENCH_BUDGET_S (default 1400, sized for an external
+`timeout 1500`), ESPRESSO_BENCH_NO_FORK=1 to run in-process.
 """
 
 from __future__ import annotations
@@ -161,8 +161,11 @@ def main():
 
     # measured warmup spread on the tunneled v5e (2026-08-20): the same
     # cold program compiled+loaded in 168 s at 11:19 and 595 s at 12:00 —
-    # the server-side compile service varies ~4x run to run. Budget wide.
-    budget = float(os.environ.get("ESPRESSO_BENCH_BUDGET_S", "1700"))
+    # the server-side compile service varies ~4x run to run. The default
+    # budget assumes an external `timeout 1500` (CLAUDE.md's bench
+    # invocation): attempt 1 gets 0.62*1400=868 s, the fallback ~515 s,
+    # both inside the external window with margin for startup/reaping.
+    budget = float(os.environ.get("ESPRESSO_BENCH_BUDGET_S", "1400"))
 
     # if an external timeout kills THIS process, take the child with us —
     # an orphaned child would keep holding the (single-lease) TPU

@@ -131,6 +131,11 @@ def build_point(point: str):
     """Build (decoder, variables, batch, metric, meta) for a named decode
     operating point ('beam', 'beam_lm', 'greedy') — shared by the bench
     main() and the profiler (bench_decode_profile.py)."""
+    if point not in ("beam", "beam_lm", "greedy"):
+        raise ValueError(
+            f"unknown decode point {point!r} (expected beam|beam_lm|greedy; "
+            "the _real suffix is handled by bench_decode.main, not here)"
+        )
     from espresso_tpu.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()

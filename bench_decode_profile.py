@@ -33,7 +33,11 @@ def load_perfetto_events(log_dir: str):
     ) + glob.glob(os.path.join(log_dir, "**", "trace.json.gz"), recursive=True)
     if not paths:
         raise FileNotFoundError(f"no perfetto trace under {log_dir}")
-    with gzip.open(paths[0], "rt") as f:
+    # jax.profiler.trace writes a timestamped subdir per run — when a
+    # fixed ESPRESSO_PROFILE_DIR is reused, pick the NEWEST trace, not
+    # directory-scan order (which can silently summarize a stale run)
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
         data = json.load(f)
     return data["traceEvents"] if isinstance(data, dict) else data
 
@@ -52,6 +56,9 @@ def summarize(events, n_top: int):
         if "TPU" in name or "device" in name.lower()
     }
     agg = defaultdict(lambda: [0.0, 0])
+    # child ops NEST inside the jit_* program envelopes on the device
+    # tracks, so summing every X event double-counts (envelope + while +
+    # fusions). The envelope sum is the true device time.
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
@@ -60,7 +67,8 @@ def summarize(events, n_top: int):
         name = e.get("name", "?")
         agg[name][0] += dur
         agg[name][1] += 1
-        total += dur
+        if name.startswith("jit_"):
+            total += dur
     rows = sorted(
         ((v[0], v[1], k) for k, v in agg.items()), reverse=True
     )[:n_top]
@@ -96,8 +104,9 @@ def main():
     events = load_perfetto_events(log_dir)
     rows, total, pid_names = summarize(events, n_top)
     per_decode_ms = total / 1e3 / ITERS
-    print(f"# {metric}: device-track total {per_decode_ms:.1f} ms/decode "
-          f"(B={meta['B']}, {ITERS} decodes traced)")
+    print(f"# {metric}: program-envelope device time "
+          f"{per_decode_ms:.1f} ms/decode (B={meta['B']}, {ITERS} decodes "
+          f"traced; table rows nest inside the envelope)")
     print("| ms/decode | calls/decode | op |")
     print("|---|---|---|")
     for dur_us, count, name in rows:

@@ -56,32 +56,28 @@ def analytic_flops(B, T, U, feat, d, ffn, layers, heads, J, V, pred_layers):
     return 3 * fwd  # fwd + 2x fwd for backward
 
 
-def main():
-    from espresso_tpu.compile_cache import enable_persistent_cache
+VOCAB, FEAT, T, U = 1024, 80, 1024, 100
+D, FFN, LAYERS, HEADS, J, PRED_LAYERS = 512, 2048, 16, 8, 512, 2
 
-    enable_persistent_cache()
-    import jax
 
-    # hardware RNG for dropout masks (cfg.common.prng_impl default;
-    # threefry costs ~34 ms/step at this operating point)
-    jax.config.update("jax_default_prng_impl", "rbg")
+def build_train_point(dropout: float = 0.1, batch_size=None):
+    """Build the flagship train operating point — (model, batch, cfg,
+    criterion). Shared by this bench, the profiler
+    (bench_train_profile.py) and the kernel parity A/B
+    (bench_attn_train_ab.py), so all three measure the SAME point (the
+    round-4 norm switch had to be replicated across hand copies of this
+    config; never again). ``ESPRESSO_BENCH_NORM`` /
+    ``ESPRESSO_BENCH_TRAIN_B`` env knobs apply for every consumer."""
     import jax.numpy as jnp
 
     from espresso_tpu.config import EspressoConfig
     from espresso_tpu.criterions import build_criterion
     from espresso_tpu.models.speech_transformer import SpeechTransformerConfig
     from espresso_tpu.models.transducer import TransducerConfig, TransducerModel
-    from espresso_tpu.train.trainer import (
-        build_optimizer,
-        create_train_state,
-        make_train_step,
-    )
 
-    VOCAB, FEAT, T, U = 1024, 80, 1024, 100
     # flagship point is B=16; ESPRESSO_BENCH_TRAIN_B measures the MFU-vs-
     # batch curve (the step is floor-dominated at B=16 — see STATUS)
-    B = int(os.environ.get("ESPRESSO_BENCH_TRAIN_B", "16"))
-    D, FFN, LAYERS, HEADS, J, PRED_LAYERS = 512, 2048, 16, 8, 512, 2
+    B = batch_size or int(os.environ.get("ESPRESSO_BENCH_TRAIN_B", "16"))
 
     mcfg = TransducerConfig(
         feat_dim=FEAT,
@@ -101,22 +97,29 @@ def main():
             # A/B round 4 (frontend LN at full T x F is bandwidth-bound)
             conv_norm_type=os.environ.get("ESPRESSO_BENCH_NORM", "batch"),
             conformer_norm_type=os.environ.get("ESPRESSO_BENCH_NORM", "batch"),
-            dropout=0.1,
+            dropout=dropout,
         ),
         pred_embed_dim=D,
         pred_hidden_size=D,
         pred_layers=PRED_LAYERS,
-        pred_dropout=0.1,
+        pred_dropout=dropout,
         joint_dim=J,
     )
     model = TransducerModel(mcfg)
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.standard_normal((B, T, FEAT)), jnp.float32)
-    lengths = jnp.asarray(np.full(B, T, np.int32))
-    prev = jnp.asarray(rng.integers(4, VOCAB, (B, U + 1)), jnp.int32)
-    target = jnp.asarray(rng.integers(4, VOCAB, (B, U)), jnp.int32)
-    tgt_lengths = jnp.asarray(np.full(B, U, np.int32))
+    batch = {
+        "src_frames": jnp.asarray(
+            rng.standard_normal((B, T, FEAT)), jnp.float32
+        ),
+        "src_lengths": jnp.asarray(np.full(B, T, np.int32)),
+        "prev_output_tokens": jnp.asarray(
+            rng.integers(4, VOCAB, (B, U + 1)), jnp.int32
+        ),
+        "target": jnp.asarray(rng.integers(4, VOCAB, (B, U)), jnp.int32),
+        "tgt_lengths": jnp.asarray(np.full(B, U, np.int32)),
+        "weight": jnp.ones((B,), jnp.float32),
+    }
 
     cfg = EspressoConfig()
     cfg.common.dtype = "bfloat16"
@@ -134,15 +137,28 @@ def main():
         dictionary = _Dict()
 
     criterion = build_criterion(cfg.criterion, _Task())
+    return model, batch, cfg, criterion
+
+
+def main():
+    from espresso_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+
+    # hardware RNG for dropout masks (cfg.common.prng_impl default;
+    # threefry costs ~34 ms/step at this operating point)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from espresso_tpu.train.trainer import (
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    model, batch, cfg, criterion = build_train_point()
+    B = batch["src_frames"].shape[0]
     optimizer, _ = build_optimizer(cfg)
-    batch = {
-        "src_frames": frames,
-        "src_lengths": lengths,
-        "prev_output_tokens": prev,
-        "target": target,
-        "tgt_lengths": tgt_lengths,
-        "weight": jnp.ones((B,), jnp.float32),
-    }
     state = create_train_state(model, optimizer, batch, jax.random.PRNGKey(0))
     train_step = jax.jit(
         make_train_step(model, criterion, optimizer, cfg), donate_argnums=(0,)

@@ -81,11 +81,20 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> Optional[str]:
 
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache aggressively BELOW the size cap: the win is the long tail
-        # of small/medium programs; oversized entries are pruned above
-        # (reads of multi-MB executables stall on the tunnel — docstring)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         return None
+    # cache aggressively BELOW the size cap: the win is the long tail of
+    # small/medium programs; oversized entries are pruned above (reads of
+    # multi-MB executables stall on the tunnel — docstring). These
+    # threshold knobs are best-effort: if a jax version lacks one, the
+    # cache is STILL enabled (dir set above) with that version's
+    # defaults — so the return value keeps reporting it as on.
+    for knob, value in (
+        ("jax_persistent_cache_min_compile_time_secs", 0.5),
+        ("jax_persistent_cache_min_entry_size_bytes", -1),
+    ):
+        try:
+            jax.config.update(knob, value)
+        except Exception:
+            pass
     return cache_dir

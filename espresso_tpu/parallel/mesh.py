@@ -98,8 +98,14 @@ TP_RULES: Tuple[Tuple[str, P], ...] = (
     # parallel CE needed, which is exactly the TPU-native form of the
     # reference's custom kernel. Verified in the dp4xtp2 dryrun
     # (__graft_entry__.dryrun_multichip).
-    (r".*fc_out/kernel$", P(None, "model")),
-    (r".*fc_out/bias$", P("model")),
+    #
+    # The transducer JOINT's fc_out is deliberately excluded: its
+    # kernel/bias feed the fused Pallas RNNT loss on TPU
+    # (criterions.py -> ops/rnnt_pallas), and Pallas custom calls have no
+    # GSPMD partitioning rule for sharded operands — the joint head stays
+    # replicated (ASR joint vocabs are 1k-10k; the memory cost is small).
+    (r"(?!.*joint).*fc_out/kernel$", P(None, "model")),
+    (r"(?!.*joint).*fc_out/bias$", P("model")),
     # BASE MoE layers: expert-parallelism = leading expert axis over 'model'
     # (the routing gather/scatter becomes an XLA all-to-all under GSPMD)
     (r".*base\d+/expert_centroids$", P("model", None)),

@@ -22,7 +22,14 @@ def test_prune_oversized(tmp_path):
 def test_enable_persistent_cache_configures_dir(tmp_path, monkeypatch):
     import jax
 
-    prev = jax.config.jax_compilation_cache_dir
+    prev = {
+        k: getattr(jax.config, k)
+        for k in (
+            "jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes",
+        )
+    }
     target = tmp_path / "cache"
     monkeypatch.setenv("ESPRESSO_COMPILE_CACHE_DIR", str(target))
     try:
@@ -33,7 +40,8 @@ def test_enable_persistent_cache_configures_dir(tmp_path, monkeypatch):
     finally:
         # leave the suite's process with its previous cache config — the
         # tmp dir is deleted after this test
-        jax.config.update("jax_compilation_cache_dir", prev)
+        for k, v in prev.items():
+            jax.config.update(k, v)
 
 
 def test_enable_persistent_cache_disabled(monkeypatch):

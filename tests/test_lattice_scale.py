@@ -119,9 +119,9 @@ def test_sweep_equals_direct_viterbi_at_scale(seed, n_words):
         dec2 = FstDecoder(g2, acoustic_scale=1.0, beam=1e9, max_active=0)
         vwords, vcost, final = dec2.decode(ll)
         assert final
-        np.testing.assert_allclose(cost, vcost, rtol=2e-5, atol=2e-4), (
-            lm_s,
-            wip,
+        np.testing.assert_allclose(
+            cost, vcost, rtol=2e-5, atol=2e-4,
+            err_msg=f"sweep point lm_scale={lm_s} wip={wip}",
         )
         # the word sequence itself may tie in cost; when the decoders
         # disagree the costs above already proved both are optimal
